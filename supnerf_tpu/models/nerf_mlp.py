@@ -1,0 +1,134 @@
+"""Latent-code-conditioned NeRF field MLPs (the hot compute path).
+
+Capability-equivalent of the reference decoders
+(/root/reference/src/model_codenerf.py:13-63 CodeNeRF;
+/root/reference/src/model_supnerf.py:155-264 PE + SUPNeRF decoder;
+/root/reference/src/model_autorf.py:114-186 AutoRF decoder).
+
+TPU-first design notes:
+  - Latent-projection layers (shape_latent_layer_j / texture_latent_layer_j)
+    depend only on the per-object code, so they are evaluated ONCE per object
+    and broadcast-added, instead of per 3D point as in the reference — same
+    math, ~7 fewer 256x256 matmuls per point.
+  - All point matmuls take (..., K) x (K, 256) shapes that tile directly onto
+    the MXU; leading dims are free (rays x samples are flattened by callers).
+  - A fused Pallas kernel for this field + compositing lives in
+    supnerf_tpu.ops.pallas_field; this module is the jit/vmap reference path
+    and the numerical oracle.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from supnerf_tpu.models.layers import TorchDense
+
+
+def positional_encoding(x, degree: int):
+    """PE(x, L) = [x, sin(concat_i 2^i x), cos(concat_i 2^i x)], matching the
+    reference PE exactly (model_supnerf.py:155-161): frequencies stacked over
+    the whole vector, identity prepended. (..., D) -> (..., D(2L+1))."""
+    freqs = 2.0 ** jnp.arange(degree, dtype=x.dtype)  # (L,)
+    y = x[..., None, :] * freqs[:, None]  # (..., L, D)
+    y = y.reshape(*x.shape[:-1], degree * x.shape[-1])
+    return jnp.concatenate([x, jnp.sin(y), jnp.cos(y)], axis=-1)
+
+
+class CodeNeRFDecoder(nn.Module):
+    """Conditioned NeRF MLP: sigma from shape-conditioned trunk, rgb from a
+    view-direction + texture-conditioned branch.
+
+    __call__(xyz (..., 3), viewdir (..., 3), shapecode, texturecode) ->
+    (sigmas (..., 1), rgbs (..., 3)). Codes must be broadcastable against the
+    leading dims of xyz, typically (latent,) for one object or
+    (B, 1, 1, latent) against (B, R, S, 3) points.
+    """
+
+    shape_blocks: int = 3
+    texture_blocks: int = 1
+    W: int = 256
+    latent_dim: int = 256
+    num_xyz_freq: int = 10
+    num_dir_freq: int = 4
+
+    @nn.compact
+    def __call__(self, xyz, viewdir, shapecode, texturecode):
+        xyz_pe = positional_encoding(xyz, self.num_xyz_freq)
+        dir_pe = positional_encoding(viewdir, self.num_dir_freq)
+
+        y = nn.relu(TorchDense(self.W, name="encoding_xyz")(xyz_pe))
+        for j in range(self.shape_blocks):
+            z = nn.relu(TorchDense(self.W, name=f"shape_latent_layer_{j + 1}")(shapecode))
+            y = y + jnp.broadcast_to(z, y.shape)
+            y = nn.relu(TorchDense(self.W, name=f"shape_layer_{j + 1}")(y))
+        y = TorchDense(self.W, name="encoding_shape")(y)
+        sigmas = nn.softplus(TorchDense(1, name="sigma")(y))
+        y = jnp.concatenate([y, jnp.broadcast_to(dir_pe, y.shape[:-1] + dir_pe.shape[-1:])], axis=-1)
+        y = nn.relu(TorchDense(self.W, name="encoding_viewdir")(y))
+        for j in range(self.texture_blocks):
+            z = nn.relu(TorchDense(self.W, name=f"texture_latent_layer_{j + 1}")(texturecode))
+            y = y + jnp.broadcast_to(z, y.shape)
+            y = nn.relu(TorchDense(self.W, name=f"texture_layer_{j + 1}")(y))
+        h = nn.relu(TorchDense(self.W // 2, name="rgb_hidden")(y))
+        rgbs = TorchDense(3, name="rgb_out")(h)
+        return sigmas, rgbs
+
+
+class AutoRFDecoder(nn.Module):
+    """The original AutoRF feature-averaging decoder
+    (model_autorf.py:123-186): features are averaged with the positional
+    feature between layers; rgb passes through a sigmoid."""
+
+    shape_blocks: int = 5
+    texture_blocks: int = 5
+    latent_dim: int = 128
+    num_xyz_freq: int = 10
+    num_dir_freq: int = 4
+
+    @nn.compact
+    def __call__(self, xyz, viewdir, shape_feat, texture_feat):
+        xyz_pe = positional_encoding(xyz, self.num_xyz_freq)
+        dir_pe = positional_encoding(viewdir, self.num_dir_freq)
+        pos_feat = nn.relu(TorchDense(self.latent_dim, name="encoding_xyz")(xyz_pe))
+
+        sf = jnp.broadcast_to(shape_feat, pos_feat.shape)
+        for j in range(self.shape_blocks - 1):
+            sf = (sf + pos_feat) / 2
+            sf = nn.relu(TorchDense(self.latent_dim, name=f"shape_layer_{j}")(sf))
+        sigmas = nn.softplus(TorchDense(1, name="sigma")((sf + pos_feat) / 2))
+
+        tf = jnp.broadcast_to(texture_feat, pos_feat.shape)
+        for j in range(self.texture_blocks - 2):
+            tf = (tf + pos_feat) / 2
+            tf = nn.relu(TorchDense(self.latent_dim, name=f"texture_layer_{j}")(tf))
+        tf = (tf + sf + pos_feat) / 3
+        tf = jnp.concatenate([tf, jnp.broadcast_to(dir_pe, tf.shape[:-1] + dir_pe.shape[-1:])], axis=-1)
+        tf = nn.relu(TorchDense(self.latent_dim, name=f"texture_layer_{self.texture_blocks - 2}")(tf))
+        tf = (tf + pos_feat) / 2
+        tf = jnp.concatenate([tf, jnp.broadcast_to(dir_pe, tf.shape[:-1] + dir_pe.shape[-1:])], axis=-1)
+        rgbs = nn.sigmoid(TorchDense(3, name="rgb")(tf))
+        return sigmas, rgbs
+
+
+class PoseRefinerMLP(nn.Module):
+    """Projected-box pose refiner: encodes the 8 projected box corners (16-d,
+    ROI-normalized) and regresses a 6-d pose delta against the image pose code
+    (reference model_supnerf.py:201-239).
+
+    __call__(im_feat (..., latent), box_uv (..., 16)) -> delta (..., 6)."""
+
+    pose_blocks: int = 3
+    regress_blocks: int = 3
+    W: int = 256
+    pose_dim: int = 16
+
+    @nn.compact
+    def __call__(self, im_feat, box_uv):
+        p = nn.relu(TorchDense(self.W, name="pose_layer_0")(box_uv))
+        for j in range(1, self.pose_blocks):
+            p = nn.relu(TorchDense(self.W, name=f"pose_layer_{j}")(p))
+        d = jnp.concatenate([im_feat, p], axis=-1)
+        d = nn.relu(TorchDense(self.W, name="regress_layer_0")(d))
+        for j in range(1, self.regress_blocks):
+            d = nn.relu(TorchDense(self.W, name=f"regress_layer_{j}")(d))
+        return TorchDense(6, name="out_delta_layer")(d)
