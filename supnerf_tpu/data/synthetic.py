@@ -1,0 +1,158 @@
+"""Synthetic object fixtures for dataset-free tests and benchmarks.
+
+nuScenes/KITTI/Waymo cannot ship with the repo, so CI and the benchmark drive
+the full pipeline on procedurally generated objects: a 3D box at a known pose
+is projected into a virtual camera; its silhouette becomes the occupancy mask,
+a flat-colored crop becomes the RGB target, and box-surface depths become the
+lidar-pixel fixture. This exercises every interface of the real data layer
+(supnerf_tpu.data.nuscenes etc.) with fully known ground truth.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from supnerf_tpu.geometry import roi as roi_ops
+
+_DEFAULT_K = np.array([[800.0, 0, 640], [0, 800, 360], [0, 0, 1]], np.float32)
+
+
+def _box_corners_np(pose, wlh):
+    w, l, h = wlh
+    x = l / 2 * np.array([1, 1, 1, 1, -1, -1, -1, -1])
+    y = w / 2 * np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    z = h / 2 * np.array([1, 1, -1, -1, 1, 1, -1, -1])
+    c = pose[:, :3] @ np.vstack([x, y, z])
+    return c + pose[:, 3:4]
+
+
+def _yaw_pose(yaw, t):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    R_unit = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    R_yaw = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    return np.concatenate([R_unit @ R_yaw, np.reshape(t, (3, 1))], axis=1).astype(np.float32)
+
+
+def make_synthetic_object(seed: int = 0, img_h: int = 900, img_w: int = 1600,
+                          K=None, color=None):
+    """Generate one synthetic sample with the same dict contract as the real
+    datasets' __getitem__ (imgs, masks_occ, rois, cam_intrinsics, cam_poses,
+    obj_poses, obj_poses_w_err, wlh, depth-fixture pixels)."""
+    rng = np.random.default_rng(seed)
+    K = _DEFAULT_K if K is None else np.asarray(K, np.float32)
+    wlh = np.array([1.9, 4.6, 1.7], np.float32) * rng.uniform(0.9, 1.1, 3).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi)
+    depth = rng.uniform(12.0, 30.0)
+    # keep the object roughly centered in the camera
+    u = rng.uniform(0.35, 0.65) * img_w
+    v = rng.uniform(0.4, 0.6) * img_h
+    t = np.linalg.inv(K) @ np.array([u * depth, v * depth, depth])
+    obj_pose = _yaw_pose(yaw, t)
+
+    corners = _box_corners_np(obj_pose, wlh)
+    uv = K @ corners
+    uv = uv[:2] / uv[2:3]
+    x0, y0 = np.floor(uv.min(axis=1)).astype(int)
+    x1, y1 = np.ceil(uv.max(axis=1)).astype(int)
+    box_2d = [max(x0, 0), max(y0, 0), min(x1, img_w - 1), min(y1, img_h - 1)]
+
+    # silhouette: convex hull of projected corners rasterized with cv2
+    import cv2
+
+    mask = np.zeros((img_h, img_w), np.uint8)
+    hull = cv2.convexHull(uv.T.astype(np.int32))
+    cv2.fillConvexPoly(mask, hull, 1)
+    mask_occ = np.where(mask > 0, 1.0, -1.0).astype(np.float32)
+
+    if color is None:
+        color = rng.uniform(0.2, 0.9, 3).astype(np.float32)
+    img = np.ones((img_h, img_w, 3), np.float32)
+    img[mask > 0] = color
+
+    # lidar fixture: pixels inside the mask with depth of the box center plane
+    ys, xs = np.nonzero(mask)
+    if len(xs) > 0:
+        sel = rng.choice(len(xs), size=min(256, len(xs)), replace=False)
+        lid_u, lid_v = xs[sel].astype(np.float32), ys[sel].astype(np.float32)
+        lid_d = np.full(len(sel), float(t[2]), np.float32)
+    else:
+        lid_u = lid_v = lid_d = np.zeros(0, np.float32)
+
+    cam_pose = np.concatenate(
+        [obj_pose[:, :3].T, -obj_pose[:, :3].T @ obj_pose[:, 3:4]], axis=1
+    ).astype(np.float32)
+
+    return {
+        "imgs": img,
+        "masks_occ": mask_occ,
+        "rois": np.asarray(box_2d, np.int32),
+        "cam_intrinsics": K,
+        "cam_poses": cam_pose,
+        "obj_poses": obj_pose,
+        "wlh": wlh,
+        "lidar_u": lid_u,
+        "lidar_v": lid_v,
+        "lidar_depth": lid_d,
+        "color": color,
+    }
+
+
+def prepare_object_inputs(sample, *, in_img_sz: int = 128, render_im_sz: int = 32,
+                          roi_margin: int = 5, n_lidar: int = 256,
+                          pose_init=None):
+    """Host-side preprocessing from a dataset sample dict to the fixed-shape
+    arrays of tto.core.ObjectBatch (one object; stack for a batch).
+
+    Mirrors the reference prep (optimizer_nuscenes.py:586-650): refine-roi
+    without square padding, nerf-roi with square padding, crop + white-out,
+    encoder square input, render target resize.
+    """
+    img, mask_occ = sample["imgs"], sample["masks_occ"]
+    H, W = img.shape[:2]
+    roi = sample["rois"]
+    roi_refine = roi_ops.roi_process(roi, H, W, roi_margin, sq_pad=False)
+    roi_nerf = roi_ops.roi_process(roi, H, W, roi_margin, sq_pad=True)
+
+    img_crop_r, mask_crop_r = roi_ops.crop_and_whiten(img, mask_occ, roi_refine)
+    img_in = roi_ops.preprocess_img_square(img_crop_r, in_img_sz)
+
+    img_crop_n, mask_crop_n = roi_ops.crop_and_whiten(img, mask_occ, roi_nerf)
+    rgb_tgt = roi_ops.resize_bilinear_np(img_crop_n, (render_im_sz, render_im_sz))
+    mask_tgt = np.trunc(
+        roi_ops.resize_bilinear_np(mask_crop_n[..., 0], (render_im_sz, render_im_sz))
+    )
+
+    K = sample["cam_intrinsics"]
+    lid_u = np.zeros(n_lidar, np.float32)
+    lid_v = np.zeros(n_lidar, np.float32)
+    lid_d = np.zeros(n_lidar, np.float32)
+    lid_m = np.zeros(n_lidar, np.float32)
+    n = min(n_lidar, len(sample["lidar_u"]))
+    lid_u[:n] = sample["lidar_u"][:n]
+    lid_v[:n] = sample["lidar_v"][:n]
+    lid_d[:n] = sample["lidar_depth"][:n]
+    lid_m[:n] = 1.0
+
+    return {
+        "img_in": img_in,
+        "rgb_tgt": rgb_tgt.reshape(-1, 3),
+        "occ_tgt": mask_tgt.reshape(-1, 1),
+        "K": K,
+        "K_inv": np.linalg.inv(K).astype(np.float32),
+        "roi_nerf": roi_nerf,
+        "roi_refine": roi_refine,
+        "pose_init": (sample["obj_poses"] if pose_init is None else pose_init).astype(np.float32),
+        "wlh": sample["wlh"],
+        "obj_pose_gt": sample["obj_poses"],
+        "lidar_u": lid_u,
+        "lidar_v": lid_v,
+        "lidar_depth": lid_d,
+        "lidar_valid": lid_m,
+    }
+
+
+def make_object_batch(n_objects: int, seed: int = 0, **prep_kwargs):
+    """Build a stacked ObjectBatch-compatible dict of n_objects synthetic samples."""
+    samples = [make_synthetic_object(seed + i) for i in range(n_objects)]
+    prepped = [prepare_object_inputs(s, **prep_kwargs) for s in samples]
+    batch = {k: np.stack([p[k] for p in prepped]) for k in prepped[0]}
+    return batch, samples

@@ -14,8 +14,10 @@ volume_rendering_batch :220; /root/reference/src/renderer.py: volume_rendering3
   acc_trans = T_{S}  (transmittance past the last sample)
 
 One batched implementation serves all reference variants; the cumulative
-product is expressed as exp(cumsum(log(...))) which XLA fuses into the
-surrounding elementwise work on TPU (a single VPU pass, no serial scan).
+product uses jnp.cumprod (an O(log S) associative scan on TPU). Do NOT rewrite
+it as exp(cumsum(log(trans))): with the 1e10 last delta, trans saturates at
+1e-10 and that formulation's reverse-mode (1/trans factors) overflows to
+inf*0 = NaN under XLA fusion — jit'd gradients NaN while eager ones don't.
 All functions are batched over arbitrary leading dimensions: sigmas (..., S) or
 (..., S, 1), rgbs (..., S, 3), z_vals (..., S).
 """
@@ -42,9 +44,7 @@ def composite_weights(sigmas, z_vals):
     alphas = 1.0 - jnp.exp(-jnp.maximum(sigmas, 0.0) * deltas)
     trans = 1.0 - alphas + _EPS_TRANS
     # T_i = prod_{j<i} trans_j  (exclusive cumprod), T_0 = 1
-    log_trans = jnp.log(trans)
-    cum = jnp.cumsum(log_trans, axis=-1)
-    accum_trans_incl = jnp.exp(cum)  # T after including sample i
+    accum_trans_incl = jnp.cumprod(trans, axis=-1)  # T after including sample i
     accum_trans = jnp.concatenate(
         [jnp.ones_like(accum_trans_incl[..., :1]), accum_trans_incl[..., :-1]], axis=-1
     )

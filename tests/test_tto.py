@@ -1,0 +1,107 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from supnerf_tpu.data.synthetic import make_object_batch
+from supnerf_tpu.geometry import poses as pose_gen
+from supnerf_tpu.models import build_model, init_model_variables
+from supnerf_tpu.tto import ObjectBatch, TTOConfig, run_tto_batch
+from supnerf_tpu.tto.refiner import compose_pose_delta, fw_pose_refine
+
+TINY_HP = {"shape_blocks": 1, "texture_blocks": 1, "latent_dim": 32,
+           "pose_shortcut": 1, "pred_wlh": 0}
+TINY_CFG = TTOConfig(num_opts=8, reg_iters=2, n_samples=8, render_im_sz=8,
+                     in_img_sz=32, n_lidar=16, shapenet_obj_cood=True)
+
+
+def _tiny_setup(n_objects=2):
+    model = build_model("supnerf", TINY_HP)
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+    raw, samples = make_object_batch(n_objects, seed=3, in_img_sz=32,
+                                     render_im_sz=8, n_lidar=16)
+    # random init pose like the reference test protocol (add_pose_err=2)
+    keys = jax.random.split(jax.random.PRNGKey(7), n_objects)
+    init = jax.vmap(
+        lambda k, K, roi: pose_gen.get_random_pose2(k, K, roi.astype(jnp.float32))
+    )(keys, jnp.asarray(raw["K"]), jnp.asarray(raw["rois" if "rois" in raw else "roi_nerf"]))
+    raw["pose_init"] = np.asarray(init)
+    batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+    return model, variables, batch
+
+
+def test_compose_pose_delta_identity():
+    pose = jnp.concatenate([jnp.eye(3), jnp.array([[1.0], [0.5], [10.0]])], axis=1)
+    K = jnp.asarray([[800.0, 0, 640], [0, 800, 360], [0, 0, 1]])
+    out = compose_pose_delta(pose, jnp.zeros(6), jnp.asarray(100.0), K, jnp.linalg.inv(K))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pose), atol=1e-5)
+
+
+def test_compose_pose_delta_depth_ratio():
+    pose = jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [10.0]])], axis=1)
+    K = jnp.asarray([[800.0, 0, 640], [0, 800, 360], [0, 0, 1]])
+    delta = jnp.array([0.0, 0, 0, 0, 0, 0.5])  # z ratio 1.5
+    out = compose_pose_delta(pose, delta, jnp.asarray(100.0), K, jnp.linalg.inv(K))
+    np.testing.assert_allclose(float(out[2, 3]), 15.0, rtol=1e-5)
+
+
+def test_fw_pose_refine_trajectory_shape():
+    model = build_model("supnerf", TINY_HP)
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+
+    def pose_update_fn(pc, uv):
+        return model.apply(variables, pc[None], uv[None],
+                           method=type(model).pose_update)[0]
+
+    pose0 = jnp.concatenate([jnp.eye(3), jnp.array([[0.0], [0.0], [20.0]])], axis=1)
+    K = jnp.asarray([[800.0, 0, 640], [0, 800, 360], [0, 0, 1]])
+    traj = fw_pose_refine(pose_update_fn, jnp.ones(32), pose0, jnp.asarray([2.0, 4.0, 1.5]),
+                          jnp.asarray([500.0, 200.0, 700.0, 400.0]), K, jnp.linalg.inv(K), 3)
+    assert traj.shape == (4, 3, 4)
+    np.testing.assert_allclose(np.asarray(traj[0]), np.asarray(pose0), atol=1e-6)
+    # refiner actually moves the pose
+    assert not np.allclose(np.asarray(traj[1]), np.asarray(traj[0]))
+
+
+def test_run_tto_batch_end_to_end():
+    model, variables, batch = _tiny_setup(2)
+    res = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                        TINY_CFG, jax.random.PRNGKey(0))
+    B, T = 2, TINY_CFG.num_opts
+    assert res["psnr"].shape == (B, T)
+    assert res["rot_err"].shape == (B, T)
+    assert res["poses_saved"].shape == (B, 6, 3, 4)
+    assert res["shapecodes_saved"].shape == (B, 6, 32)
+    assert np.isfinite(np.asarray(res["loss"])).all()
+    # optimization reduces the combined loss on average after the replay phase
+    loss = np.asarray(res["loss"])
+    assert loss[:, -1].mean() < loss[:, TINY_CFG.reg_iters].mean() + 1e-6
+
+
+def test_replay_semantics():
+    """Iterations 0..reg_iters must render the refiner trajectory poses and not
+    update codes: snapshot at iter 0 equals the initial codes."""
+    model, variables, batch = _tiny_setup(1)
+    res = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                        TINY_CFG, jax.random.PRNGKey(0))
+    traj = np.asarray(res["pose_traj"])[0]
+    # per-iter emitted pose for iters 0..reg_iters equals replayed trajectory
+    # (CODE_SAVE_ITERS[0] == 0 so poses_saved[0] is the iter-0 pose == traj[0])
+    np.testing.assert_allclose(np.asarray(res["poses_saved"])[0, 0], traj[0], atol=1e-5)
+    # rot/trans errors at iters 0..reg_iters match the trajectory errors
+    from supnerf_tpu.geometry.poses import calc_pose_err
+    eR, eT = calc_pose_err(jnp.asarray(traj), jnp.asarray(batch.obj_pose_gt[0])[None])
+    np.testing.assert_allclose(np.asarray(res["rot_err"])[0, :3], np.asarray(eR)[:3], atol=1e-4)
+
+
+def test_codes_only_mode_keeps_pose_fixed():
+    model, variables, batch = _tiny_setup(1)
+    cfg = TTOConfig(**{**TINY_CFG.__dict__, "opt_pose": False})
+    res = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                        cfg, jax.random.PRNGKey(0))
+    # pose after optimization equals the refined pose (no pose updates)
+    np.testing.assert_allclose(
+        np.asarray(res["final_pose"]), np.asarray(res["pose_traj"])[:, -1], atol=1e-5
+    )
+    # but codes did change
+    assert not np.allclose(np.asarray(res["shapecodes_saved"])[0, 0],
+                           np.asarray(res["final_shapecode"])[0])
