@@ -1,0 +1,8 @@
+from supnerf_tpu.training.train_step import (
+    TrainBatch,
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    make_train_step,
+    unified_loss,
+)

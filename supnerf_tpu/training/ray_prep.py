@@ -1,0 +1,141 @@
+"""Host-side per-sample ray preparation for training (numpy).
+
+Equivalent of the reference's dataloader-worker ray prep
+(/root/reference/src/utils.py: prepare_pixel_samples :330-377 via
+data_nuscenes.py:615-658): build the ray grid over the (variable-size) ROI,
+draw a random fixed-size subset of pixels, stratified-sample depths in the
+frustum shell, normalize points by the object diagonal, and apply the
+object-frame transforms. Outputs are fixed-shape so the device-side train step
+compiles once.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from supnerf_tpu.geometry import roi as roi_ops
+
+
+def _get_rays_np(K, c2w, roi, uv_steps=None):
+    dx, dy, fx, fy = K[0, 2], K[1, 2], K[0, 0], K[1, 1]
+    if uv_steps is not None:
+        xs = np.linspace(roi[0], roi[2] - 1, uv_steps[0])
+        ys = np.linspace(roi[1], roi[3] - 1, uv_steps[1])
+    else:
+        xs = np.linspace(roi[0], roi[2] - 1, int(roi[2] - roi[0]))
+        ys = np.linspace(roi[1], roi[3] - 1, int(roi[3] - roi[1]))
+    i, j = np.meshgrid(xs, ys, indexing="xy")
+    dirs = np.stack([(i - dx) / fx, (j - dy) / fy, np.ones_like(i)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    viewdir = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = np.broadcast_to(c2w[:3, 3], viewdir.shape)
+    return rays_o.reshape(-1, 3), viewdir.reshape(-1, 3)
+
+
+def prepare_pixel_samples(img_crop, mask_crop, cam_pose, obj_diag, K, roi,
+                          n_rays: int, n_samples: int, shapenet_obj_cood: bool,
+                          sym_aug: bool, rng: np.random.Generator,
+                          im_sz: int | None = None):
+    """img_crop (h, w, 3) whitened ROI crop; mask_crop (h, w, 1) in {-1,0,1}.
+
+    Returns dict(xyz (n_rays, S, 3), viewdir (n_rays, S, 3), z_vals (S,),
+    rgb_tgt (n_rays, 3), occ_pixels (n_rays, 1)). If the roi has fewer pixels
+    than n_rays, rays are repeated (reference instead shrinks the batch, which
+    would break static shapes; repetition preserves the loss normalization)."""
+    near = np.linalg.norm(cam_pose[:, 3]) - obj_diag / 2
+    far = np.linalg.norm(cam_pose[:, 3]) + obj_diag / 2
+
+    if im_sz is None:
+        rays_o, viewdir = _get_rays_np(K, cam_pose, roi)
+        img_px = img_crop.reshape(-1, 3)
+        occ_px = mask_crop.reshape(-1, 1)
+    else:
+        rays_o, viewdir = _get_rays_np(K, cam_pose, roi, uv_steps=(im_sz, im_sz))
+        img_px = roi_ops.resize_bilinear_np(img_crop, (im_sz, im_sz)).reshape(-1, 3)
+        occ_px = np.trunc(
+            roi_ops.resize_bilinear_np(mask_crop[..., 0], (im_sz, im_sz))
+        ).reshape(-1, 1)
+
+    total = rays_o.shape[0]
+    ids = rng.permutation(total)[:n_rays]
+    if len(ids) < n_rays:
+        ids = np.concatenate([ids, rng.choice(total, n_rays - len(ids))])
+    rays_o = rays_o[ids]
+    viewdir = viewdir[ids]
+    rgb_tgt = img_px[ids]
+    occ_pixels = occ_px[ids]
+
+    # stratified depths with a jitter vector shared across rays (reference
+    # sample_from_rays, utils.py:154-167)
+    dist = (far - near) / (2 * n_samples)
+    z_vals = np.linspace(near + dist, far - dist, n_samples)
+    z_vals = z_vals + rng.random(n_samples) * (far - near) / (2 * n_samples)
+
+    xyz = rays_o[:, None, :] + viewdir[:, None, :] * z_vals[None, :, None]
+    xyz = xyz / obj_diag
+    vds = np.broadcast_to(viewdir[:, None, :], xyz.shape).copy()
+
+    if sym_aug and rng.random() > 0.5:
+        xyz[:, :, 1] *= -1
+        vds[:, :, 1] *= -1
+    if shapenet_obj_cood:
+        xyz = np.stack([-xyz[..., 1], xyz[..., 0], xyz[..., 2]], axis=-1)
+        vds = np.stack([-vds[..., 1], vds[..., 0], vds[..., 2]], axis=-1)
+
+    return {
+        "xyz": xyz.astype(np.float32),
+        "viewdir": vds.astype(np.float32),
+        "z_vals": z_vals.astype(np.float32),
+        "rgb_tgt": rgb_tgt.astype(np.float32),
+        "occ_pixels": occ_pixels.astype(np.float32),
+    }
+
+
+def prepare_train_sample(sample, *, n_rays: int = 1024, n_samples: int = 64,
+                         in_img_sz: int = 128, roi_margin: int = 5,
+                         shapenet_obj_cood: bool = True, sym_aug: bool = False,
+                         rng=None, render_sz: int | None = None,
+                         src_pose=None, code_idx: int = 0):
+    """Full host prep from a dataset sample dict (see data.synthetic /
+    data.nuscenes) to one TrainBatch row (stack rows then shard)."""
+    from supnerf_tpu.geometry.boxes import corners_of_box, view_points
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng() if rng is None else rng
+    img, mask_occ = sample["imgs"], sample["masks_occ"]
+    H, W = img.shape[:2]
+    roi = roi_ops.roi_process(sample["rois"], H, W, roi_margin,
+                              sq_pad=render_sz is not None)
+    img_crop, mask_crop = roi_ops.crop_and_whiten(img, mask_occ, roi)
+    # training keeps bg black after masking (reference data_nuscenes.py:637-639)
+    img_crop = np.asarray(img, np.float32)[roi[1]:roi[3], roi[0]:roi[2]] * (mask_crop > 0)
+    img_in = roi_ops.preprocess_img_square(img_crop, in_img_sz)
+
+    wlh = sample["wlh"]
+    obj_diag = float(np.linalg.norm(wlh))
+    rays = prepare_pixel_samples(
+        img_crop, mask_crop, sample["cam_poses"], obj_diag,
+        sample["cam_intrinsics"], roi, n_rays, n_samples,
+        shapenet_obj_cood, sym_aug, rng, im_sz=render_sz,
+    )
+
+    tgt_pose = sample["obj_poses"]
+    tgt_uv = np.asarray(view_points(
+        corners_of_box(jnp.asarray(tgt_pose), jnp.asarray(wlh)),
+        jnp.asarray(sample["cam_intrinsics"]), normalize=True))[:2]
+
+    return {
+        "img_in": img_in,
+        "xyz": rays["xyz"],
+        "viewdir": rays["viewdir"],
+        "z_vals": rays["z_vals"],
+        "rgb_tgt": rays["rgb_tgt"],
+        "occ_pixels": rays["occ_pixels"],
+        "src_pose": (tgt_pose if src_pose is None else src_pose).astype(np.float32),
+        "tgt_uv": tgt_uv.astype(np.float32),
+        "tgt_uv_aug": tgt_uv.astype(np.float32),
+        "wlh": np.asarray(wlh, np.float32),
+        "wlh_aug": np.asarray(wlh, np.float32),
+        "roi": roi.astype(np.float32),
+        "K": sample["cam_intrinsics"].astype(np.float32),
+        "code_idx": np.asarray(code_idx, np.int32),
+    }

@@ -1,0 +1,202 @@
+"""Host-side training drivers.
+
+Capability-equivalent of the reference trainers
+(/root/reference/src/trainer_unified_nuscenes.py TrainerUnifiedNuscenes and
+/root/reference/src/trainer_nerf_nuscenes.py TrainerNerfNuscenes): epoch loop,
+host data batching with per-sample ray prep, per-instance code tables,
+tensorboard logging, per-epoch checkpoints with resume, and pretrained
+warm-start with mean codes.
+
+The device work is one jitted train step (training.train_step) whose batch axis
+is sharded over a data-parallel mesh; this driver only feeds it.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supnerf_tpu.geometry import poses as pose_gen
+from supnerf_tpu.geometry.boxes import corners_of_box, view_points
+from supnerf_tpu.parallel import make_mesh, shard_pytree_batch
+from supnerf_tpu.parallel.mesh import replicate_pytree
+from supnerf_tpu.training.checkpoints import (
+    mean_codes_from_state,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from supnerf_tpu.training.ray_prep import prepare_train_sample
+from supnerf_tpu.training.train_step import (
+    TrainBatch,
+    TrainConfig,
+    init_train_state,
+    make_train_step,
+)
+
+
+def train_config_from_hpams(hpams: dict, im_enc_rate: float = 1.0,
+                            finetune_wlh: bool = False) -> TrainConfig:
+    lr = hpams.get("lr_schedule", [{"lr": 1e-4, "interval": 40000}] * 2)
+    return TrainConfig(
+        lr_model=lr[0]["lr"],
+        lr_codes=lr[1]["lr"],
+        lr_interval_model=lr[0]["interval"],
+        lr_interval_codes=lr[1]["interval"],
+        loss_occ_coef=hpams.get("loss_occ_coef", 0.1),
+        loss_code_coef=hpams.get("loss_code_coef", 0.1),
+        loss_pose_coef=hpams.get("loss_pose_coef", 0.01),
+        loss_wlh_coef=hpams.get("loss_wlh_coef", 1.0),
+        im_enc_rate=im_enc_rate,
+        finetune_wlh=finetune_wlh,
+        latent_dim=hpams.get("net_hyperparams", {}).get("latent_dim", 256),
+    )
+
+
+class UnifiedTrainer:
+    """Joint pose + NeRF trainer (loss_mode='unified') or NeRF-only baseline
+    trainer (loss_mode='nerf_only').
+
+    dataset: indexable returning sample dicts (see data.synthetic /
+    data.nuscenes) with an 'instoken' key for code-table assignment.
+    """
+
+    def __init__(self, model, hpams: dict, dataset, save_dir: str,
+                 batch_size: int = 8, loss_mode: str = "unified",
+                 im_enc_rate: float = 1.0, aug_wlh: bool = False,
+                 aug_box2d: bool = False, finetune_wlh: bool = False,
+                 n_devices: int | None = None, seed: int = 0,
+                 check_iter: int = 1000, log_writer=None):
+        self.model = model
+        self.hpams = hpams
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.loss_mode = loss_mode
+        self.aug_wlh = aug_wlh
+        self.aug_box2d = aug_box2d
+        self.cfg = train_config_from_hpams(hpams, im_enc_rate, finetune_wlh)
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.nepoch = 0
+        self.check_iter = check_iter
+
+        self.save_dir = save_dir
+        os.makedirs(save_dir, exist_ok=True)
+        hpams_out = dict(hpams)
+        hpams_out["model_dir"] = save_dir
+        with open(os.path.join(save_dir, "hpam.json"), "w") as f:
+            json.dump(hpams_out, f, indent=2)
+
+        self.writer = log_writer
+        if self.writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(os.path.join(save_dir, "runs"))
+            except Exception:
+                self.writer = None
+
+        # instance -> code index map
+        self.instoken2idx = {}
+        for i in range(len(dataset)):
+            tok = self._instoken(i)
+            if tok not in self.instoken2idx:
+                self.instoken2idx[tok] = len(self.instoken2idx)
+
+        self.mesh = make_mesh(n_devices) if n_devices else None
+        self.state = init_train_state(
+            self.model, self.key, n_instances=max(len(self.instoken2idx), 1),
+            cfg=self.cfg, img_size=hpams.get("in_img_sz", 128),
+        )
+        if self.mesh is not None:
+            self.state = replicate_pytree(self.state, self.mesh)
+        self.step_fn = make_train_step(self.model, self.cfg, donate=False,
+                                       loss_mode=loss_mode)
+        self.metrics_history = []
+
+    # -- data ----------------------------------------------------------------
+    def _instoken(self, i):
+        s = self.dataset[i]
+        return s.get("instoken", str(i)) if isinstance(s, dict) else str(i)
+
+    def _prepare_row(self, idx: int):
+        s = self.dataset[idx]
+        K = jnp.asarray(s["cam_intrinsics"])
+        roi_f = jnp.asarray(np.asarray(s["rois"], np.float32))
+        self.key, k = jax.random.split(self.key)
+        src_pose = np.asarray(pose_gen.get_random_pose2(k, K, roi_f, trans_lim=0.3))
+        row = prepare_train_sample(
+            s,
+            n_rays=self.hpams.get("n_rays", 1024),
+            n_samples=self.hpams.get("n_samples", 64),
+            in_img_sz=self.hpams.get("in_img_sz", 128),
+            roi_margin=self.hpams.get("roi_margin", 5),
+            shapenet_obj_cood=bool(self.hpams.get("shapenet_obj_cood", 1)),
+            sym_aug=bool(self.hpams.get("sym_aug", 0)),
+            rng=self.rng,
+            render_sz=self.hpams.get("render_sz"),
+            src_pose=src_pose,
+            code_idx=self.instoken2idx[s.get("instoken", str(idx))],
+        )
+        if self.aug_wlh:
+            fac = self.rng.uniform(0.9, 1.1, 3).astype(np.float32)
+            fac[2] = 1.0 / (fac[0] * fac[1])
+            wlh_aug = row["wlh"] * fac
+            uv_aug = np.asarray(view_points(
+                corners_of_box(jnp.asarray(s["obj_poses"]), jnp.asarray(wlh_aug)),
+                K, normalize=True))[:2]
+            row["wlh_aug"] = wlh_aug
+            row["tgt_uv_aug"] = uv_aug.astype(np.float32)
+        return row
+
+    def _make_batch(self, idxs):
+        rows = [self._prepare_row(i) for i in idxs]
+        stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        batch = TrainBatch(**{k: jnp.asarray(v) for k, v in stacked.items()})
+        if self.mesh is not None:
+            batch = shard_pytree_batch(batch, self.mesh)
+        return batch
+
+    # -- loop ----------------------------------------------------------------
+    def train(self, epochs: int):
+        while self.nepoch < epochs:
+            self.training_epoch()
+            save_checkpoint(self.save_dir, jax.tree.map(np.asarray, self.state),
+                            self.nepoch, self.instoken2idx)
+            self.nepoch += 1
+        return self.state
+
+    def training_epoch(self):
+        order = self.rng.permutation(len(self.dataset))
+        n_batches = len(order) // self.batch_size
+        t0 = time.time()
+        for bi in range(n_batches):
+            idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            batch = self._make_batch(idxs)
+            self.key, k = jax.random.split(self.key)
+            self.state, metrics = self.step_fn(self.state, batch, k)
+            self._log(metrics, time.time() - t0)
+            t0 = time.time()
+
+    def _log(self, metrics, dt):
+        niter = int(self.state.niter)
+        scalars = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        scalars["time/train"] = dt
+        self.metrics_history.append(scalars)
+        if self.writer is not None:
+            for k, v in scalars.items():
+                self.writer.add_scalar(k, v, niter)
+
+    # -- checkpoint plumbing --------------------------------------------------
+    def resume_from_epoch(self, save_dir: str, epoch: int | None = None):
+        self.state, self.nepoch, self.instoken2idx = restore_checkpoint(
+            save_dir, jax.tree.map(np.asarray, self.state), epoch)
+        self.nepoch += 1
+        if self.mesh is not None:
+            self.state = replicate_pytree(self.state, self.mesh)
+
+    def mean_codes(self):
+        return mean_codes_from_state(self.state)

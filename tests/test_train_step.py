@@ -1,0 +1,89 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from supnerf_tpu.data.synthetic import make_synthetic_object
+from supnerf_tpu.models import build_model
+from supnerf_tpu.parallel import make_mesh, shard_pytree_batch
+from supnerf_tpu.parallel.mesh import replicate_pytree
+from supnerf_tpu.training import (
+    TrainBatch, TrainConfig, init_train_state, make_train_step,
+)
+from supnerf_tpu.training.ray_prep import prepare_train_sample
+from supnerf_tpu.geometry.poses import get_random_pose
+
+TINY_HP = {"shape_blocks": 1, "texture_blocks": 1, "latent_dim": 32,
+           "pose_shortcut": 1, "pred_wlh": 0}
+
+
+def _make_batch(n=4, n_rays=64, n_samples=8, in_img_sz=32):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        s = make_synthetic_object(seed=20 + i)
+        src = np.asarray(get_random_pose(
+            jax.random.PRNGKey(i), jnp.asarray(s["obj_poses"]),
+            jnp.asarray(s["cam_intrinsics"]), jnp.asarray(s["rois"], jnp.float32)))
+        rows.append(prepare_train_sample(
+            s, n_rays=n_rays, n_samples=n_samples, in_img_sz=in_img_sz,
+            rng=rng, src_pose=src, code_idx=i % 3))
+    batch = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    return TrainBatch(**{k: jnp.asarray(v) for k, v in batch.items()})
+
+
+def test_train_step_runs_and_updates():
+    model = build_model("supnerf", TINY_HP)
+    cfg = TrainConfig(latent_dim=32, im_enc_rate=1.0)
+    state = init_train_state(model, jax.random.PRNGKey(0), n_instances=3, cfg=cfg,
+                             img_size=32)
+    step = make_train_step(model, cfg, donate=False)
+    batch = _make_batch()
+    losses = []
+    for t in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(t))
+        losses.append(float(metrics["loss_total"]))
+    assert np.isfinite(losses).all()
+    assert int(state.niter) == 3
+    assert float(state.optimized_idx.sum()) == 3.0  # code_idx 0..2 touched
+    for k in ["loss_rgb", "loss_occ", "loss_pose_iter1", "loss_pose_direct",
+              "loss_code", "psnr", "loss_reg"]:
+        assert k in metrics
+    # the model is actually learning something on the repeated batch
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_data_parallel_mesh():
+    """The train step must compile and run with the batch sharded over an
+    8-device mesh and the state replicated."""
+    model = build_model("supnerf", TINY_HP)
+    cfg = TrainConfig(latent_dim=32)
+    state = init_train_state(model, jax.random.PRNGKey(0), n_instances=8, cfg=cfg,
+                             img_size=32)
+    step = make_train_step(model, cfg, donate=False)
+    batch = _make_batch(n=8)
+    mesh = make_mesh(8)
+    state_r = replicate_pytree(state, mesh)
+    batch_s = shard_pytree_batch(batch, mesh)
+    new_state, metrics = step(state_r, batch_s, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert int(new_state.niter) == 1
+    # replicated output state
+    delta = jax.tree.leaves(new_state.params)[0] - jax.tree.leaves(state.params)[0]
+    assert float(jnp.abs(delta).max()) > 0  # params moved
+
+
+def test_lr_schedule_halving():
+    from supnerf_tpu.training.train_step import _make_optimizers
+    cfg = TrainConfig(lr_model=1e-4, lr_interval_model=10)
+    tx_model, _ = _make_optimizers(cfg)
+    # schedule embedded: verify 2^-(t//interval) scaling via a probe update
+    params = {"w": jnp.ones(4)}
+    state = tx_model.init(params)
+    g = {"w": jnp.ones(4)}
+    # advance count to 10 and compare update magnitude ratio ~0.5
+    u0, state = tx_model.update(g, state, params)
+    for _ in range(10):
+        _, state = tx_model.update(g, state, params)
+    u10, _ = tx_model.update(g, state, params)
+    ratio = float(jnp.abs(u10["w"][0]) / jnp.abs(u0["w"][0]))
+    assert 0.4 < ratio < 0.6

@@ -1,0 +1,83 @@
+import os
+
+import numpy as np
+import jax
+
+from supnerf_tpu.data.synthetic import make_synthetic_object
+from supnerf_tpu.models import build_model
+from supnerf_tpu.training.trainer import UnifiedTrainer
+
+TINY_HP = {
+    "arch": "supnerf",
+    "net_hyperparams": {"shape_blocks": 1, "texture_blocks": 1, "latent_dim": 32,
+                        "pose_shortcut": 1, "pred_wlh": 0},
+    "n_rays": 32, "n_samples": 8, "in_img_sz": 32, "roi_margin": 5,
+    "loss_occ_coef": 0.1, "loss_code_coef": 0.1, "loss_pose_coef": 0.01,
+    "shapenet_obj_cood": 1, "sym_aug": 0,
+    "lr_schedule": [{"lr": 1e-4, "interval": 1000}, {"lr": 1e-4, "interval": 1000}],
+}
+
+
+class SynthDataset:
+    def __init__(self, n):
+        self.samples = [make_synthetic_object(seed=40 + i) for i in range(n)]
+        for i, s in enumerate(self.samples):
+            s["instoken"] = f"ins_{i % 2}"  # two instances sharing codes
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def test_unified_trainer_end_to_end(tmp_path):
+    model = build_model("supnerf", TINY_HP["net_hyperparams"])
+    ds = SynthDataset(4)
+    tr = UnifiedTrainer(model, TINY_HP, ds, str(tmp_path / "ckpt"),
+                        batch_size=2, check_iter=10)
+    tr.train(epochs=1)
+    assert int(tr.state.niter) == 2  # 4 samples / batch 2
+    assert len(tr.metrics_history) == 2
+    assert np.isfinite(tr.metrics_history[-1]["loss_total"])
+    assert os.path.isdir(str(tmp_path / "ckpt" / "epoch_0"))
+    assert os.path.exists(str(tmp_path / "ckpt" / "hpam.json"))
+
+    # resume restores counters and instance map
+    tr2 = UnifiedTrainer(model, TINY_HP, ds, str(tmp_path / "ckpt2"),
+                         batch_size=2)
+    tr2.resume_from_epoch(str(tmp_path / "ckpt"))
+    assert tr2.nepoch == 1
+    assert int(tr2.state.niter) == 2
+    np.testing.assert_allclose(np.asarray(tr2.state.shape_codes),
+                               np.asarray(tr.state.shape_codes))
+
+    # mean codes over optimized instances
+    ms, mt = tr.mean_codes()
+    assert ms.shape == (32,) and np.isfinite(ms).all()
+
+
+def test_nerf_only_trainer(tmp_path):
+    hp = dict(TINY_HP)
+    hp["arch"] = "autorf"
+    model = build_model("autorf", {"shape_blocks": 2, "texture_blocks": 2,
+                                   "latent_dim": 32})
+    ds = SynthDataset(2)
+    tr = UnifiedTrainer(model, hp, ds, str(tmp_path / "ckpt"),
+                        batch_size=2, loss_mode="nerf_only", im_enc_rate=1.0)
+    tr.training_epoch()
+    m = tr.metrics_history[-1]
+    assert np.isfinite(m["loss_total"])
+    assert "loss_code" in m and "loss_rgb" in m
+
+
+def test_codenerf_trainer_no_encoder(tmp_path):
+    hp = dict(TINY_HP)
+    hp["arch"] = "codenerf"
+    model = build_model("codenerf", {"shape_blocks": 1, "texture_blocks": 1,
+                                     "latent_dim": 32})
+    ds = SynthDataset(2)
+    tr = UnifiedTrainer(model, hp, ds, str(tmp_path / "ckpt"),
+                        batch_size=2, loss_mode="nerf_only")
+    tr.training_epoch()
+    assert np.isfinite(tr.metrics_history[-1]["loss_total"])
