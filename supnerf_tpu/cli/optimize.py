@@ -1,0 +1,84 @@
+"""Test-time optimization CLI (reference optimize_{nuscenes,kitti,waymo}.py).
+
+Usage:
+  python -m supnerf_tpu.cli.optimize --config_file supnerf.nusc.vehicle.car.json
+  python -m supnerf_tpu.cli.optimize --config_file supnerf.kitti.car.json
+  python -m supnerf_tpu.cli.optimize --dataset synthetic --num_objects 8   # smoke
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from supnerf_tpu.cli.common import (
+    add_common_args,
+    add_optimize_args,
+    build_dataset,
+    load_model_and_codes,
+    resolve_hpams,
+)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("supnerf_tpu optimize")
+    add_common_args(p)
+    add_optimize_args(p)
+    args = p.parse_args(argv)
+
+    hpams = resolve_hpams(args)
+    ds_name = args.dataset or hpams.get("dataset", {}).get("name", "synthetic")
+    frame = {"kitti": "kitti", "waymo": "waymo"}.get(ds_name, "nusc")
+
+    model, variables, mean_shape, mean_texture = load_model_and_codes(
+        hpams, args.model_epoch, args.seed)
+    dataset = build_dataset(hpams, args, split="val")
+
+    save_dir = os.path.join(hpams.get("model_dir", "checkpoints"),
+                            f"test_{ds_name}{args.save_postfix}")
+    if args.cross_eval_folder:
+        save_dir = args.cross_eval_folder
+
+    from supnerf_tpu.tto.driver import TTODriver
+
+    driver = TTODriver(
+        model, variables, mean_shape, mean_texture, hpams, dataset, save_dir,
+        opt_pose=args.opt_pose, reg_iters=args.reg_iters, dataset_frame=frame,
+        pred_wlh=args.pred_wlh, add_pose_err=args.add_pose_err,
+        batch_size=args.batch_size, save_freq=args.save_freq,
+        n_devices=args.devices, seed=args.seed,
+    )
+    if args.cross_eval_folder:
+        # evaluation-only resume from a previous optimization folder
+        import pickle
+
+        with open(os.path.join(save_dir, "codes+poses.pkl"), "rb") as f:
+            saved = pickle.load(f)
+        driver.optimized_shapecodes = saved["optimized_shapecodes"]
+        driver.optimized_texturecodes = saved["optimized_texturecodes"]
+        driver.optimized_poses = saved["optimized_poses"]
+    else:
+        driver.run()
+    cross = driver.eval_cross_view() if ds_name in ("nusc", "synthetic") else None
+
+    # aggregate + plots (reference optimize_nuscenes.py:145-155)
+    import matplotlib.pyplot as plt
+
+    from supnerf_tpu.eval.aggregate import collect_eval_results
+
+    result_file = os.path.join(save_dir, "codes+poses.pkl")
+    if os.path.exists(result_file):
+        fig, axes = plt.subplots(2, 2, figsize=(9, 9))
+        collect_eval_results(
+            result_file, max_iter=hpams["optimize"]["num_opts"], axes=axes,
+            cross_eval_file=os.path.join(save_dir, "cross_eval.pkl") if cross else None,
+        )
+        fig.savefig(os.path.join(save_dir, "eval.pdf"))
+        print(f"saved {os.path.join(save_dir, 'eval.pdf')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from supnerf_tpu.data.synthetic import make_synthetic_object
+from supnerf_tpu.models import build_model, init_model_variables
+from supnerf_tpu.tto.core import TTOConfig
+from supnerf_tpu.tto.driver import TTODriver, tto_config_from_hpams
+from supnerf_tpu.tto.pnp import pnp_bootstrap, denormalize_uv_direct
+
+TINY_NET = {"shape_blocks": 1, "texture_blocks": 1, "latent_dim": 32,
+            "pose_shortcut": 1, "pred_wlh": 0}
+TINY_HP = {"net_hyperparams": TINY_NET, "n_samples": 8, "render_im_sz": 8,
+           "in_img_sz": 32, "roi_margin": 5, "loss_occ_coef": 0.1,
+           "shapenet_obj_cood": 1, "sym_aug": 0,
+           "optimize": {"num_opts": 6, "lr_shape": 0.02, "lr_texture": 0.02,
+                        "lr_pose": 0.01, "lr_half_interval": 1000}}
+
+
+class SynthDataset:
+    def __init__(self, n, views_per_ins=2):
+        self.samples = []
+        for i in range(n):
+            s = make_synthetic_object(seed=60 + i)
+            s["instoken"] = f"ins_{i // views_per_ins}"
+            s["anntoken"] = f"ann_{i}"
+            s["cam_ids"] = "CAM_FRONT"
+            self.samples.append(s)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def _driver(tmp_path, dataset, **kw):
+    model = build_model("supnerf", TINY_NET)
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+    cfg = tto_config_from_hpams(TINY_HP, reg_iters=2, **{k: v for k, v in kw.items()
+                                                         if k in ("opt_pose", "dataset_frame")})
+    cfg = TTOConfig(**{**cfg.__dict__, "n_lidar": 32})
+    return TTODriver(model, variables, np.zeros(32, np.float32), np.zeros(32, np.float32),
+                     TINY_HP, dataset, str(tmp_path), cfg=cfg, batch_size=2,
+                     reg_iters=2, **kw)
+
+
+def test_driver_run_and_save(tmp_path):
+    ds = SynthDataset(4)
+    drv = _driver(tmp_path, ds)
+    res = drv.run()
+    assert len(res["psnr_eval"]) == 4
+    for k, curve in res["psnr_eval"].items():
+        assert len(curve) == 6
+    assert "ann_0" in res["optimized_poses"]
+    assert res["optimized_poses"]["ann_0"]["CAM_FRONT"].shape == (6, 3, 4)
+    path = os.path.join(str(tmp_path), "codes+poses.pkl")
+    assert os.path.exists(path)
+    with open(path, "rb") as f:
+        saved = pickle.load(f)
+    assert saved["CODE_SAVE_ITERS_"] == [0, 5, 10, 20, 50, 100]
+
+
+def test_driver_eval_aggregation(tmp_path):
+    ds = SynthDataset(4)
+    drv = _driver(tmp_path, ds)
+    drv.run()
+    from supnerf_tpu.eval.aggregate import collect_eval_results
+
+    agg = collect_eval_results(os.path.join(str(tmp_path), "codes+poses.pkl"),
+                               max_iter=6, print_iters=(0, 3, 5))
+    assert agg["n_objects"] == 4
+    assert agg["psnr"].shape == (6,)
+    assert np.isfinite(agg["rot_err_deg"]).all()
+
+
+def test_driver_cross_view_eval(tmp_path):
+    ds = SynthDataset(4, views_per_ins=2)
+    drv = _driver(tmp_path, ds)
+    drv.run()
+    cross = drv.eval_cross_view()
+    assert len(cross["psnr_eval_mat_per_ins"]) == 2
+    mats = cross["psnr_eval_mat_per_ins"]["ins_0"]
+    assert len(mats) == 6 and mats[0].shape == (2, 2)
+    from supnerf_tpu.eval.aggregate import aggregate_cross_eval
+
+    agg = aggregate_cross_eval(cross)
+    assert agg["psnr_cross"].shape == (6,)
+
+
+def test_driver_kitti_frame(tmp_path):
+    ds = SynthDataset(2)
+    drv = _driver(tmp_path, ds, dataset_frame="kitti")
+    assert drv.cfg.kitti2nusc and abs(drv.cfg.box_fac - 1.1) < 1e-9
+    res = drv.optimize_object_batch([0, 1])
+    assert np.isfinite(res["psnr"]).all()
+
+
+def test_pnp_bootstrap_recovers_pose():
+    """PnP on exact projected corners must recover the GT pose."""
+    s = make_synthetic_object(seed=77)
+    from supnerf_tpu.geometry.boxes import corners_of_box, view_points, normalize_by_roi
+
+    pose = jnp.asarray(s["obj_poses"])
+    K = jnp.asarray(s["cam_intrinsics"])
+    roi = np.asarray(s["rois"], np.float32)
+    uv = view_points(corners_of_box(pose, jnp.asarray(s["wlh"])), K, normalize=True)
+    uv_norm, dim = normalize_by_roi(uv[None, :2], jnp.asarray(roi)[None])
+    uv16 = np.asarray(uv_norm[0]).reshape(-1) * 2  # driver convention: /(dim/2)
+    # round-trip of the denormalization
+    rt = denormalize_uv_direct(uv16, roi)
+    np.testing.assert_allclose(rt, np.asarray(uv)[:2], atol=1e-3)
+
+    src = np.concatenate([np.eye(3), [[0], [0], [30.0]]], axis=1).astype(np.float32)
+    out = pnp_bootstrap(uv16, roi, s["wlh"], np.asarray(K), src)
+    np.testing.assert_allclose(out[:, 3], np.asarray(pose)[:, 3], atol=0.3)
+    from scipy.spatial.transform import Rotation as R
+
+    err = R.from_matrix(out[:, :3] @ np.asarray(pose)[:, :3].T).magnitude()
+    assert err < 0.1
