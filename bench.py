@@ -33,6 +33,7 @@ def main():
     model = build_model("supnerf", {
         "shape_blocks": 3, "texture_blocks": 1, "latent_dim": 256,
         "pose_shortcut": 1, "pred_wlh": 0,
+        "field_dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
     })
     variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
 
@@ -49,9 +50,25 @@ def main():
     shapecodes = jax.random.normal(jax.random.PRNGKey(1), (B, 256)) * 0.1
     texturecodes = jax.random.normal(jax.random.PRNGKey(2), (B, 256)) * 0.1
 
+    impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
+    if impl == "pallas":
+        import jax.numpy as _jnp
+
+        from supnerf_tpu.ops.pallas_field import make_pallas_field_fn
+
+        dt = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32}[
+            os.environ.get("BENCH_DTYPE", "bfloat16")]
+        pallas_field = make_pallas_field_fn(variables, dtype=dt)
+
+        def field_for(sc, tc):
+            return lambda xyz, vd: pallas_field(xyz, vd, sc, tc)
+    else:
+        def field_for(sc, tc):
+            return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
+
     def render_one(key, sc, tc):
         out = render_rays_frustum(
-            lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc),
+            field_for(sc, tc),
             key, cam, K, roi, diag,
             n_samples=N_SAMPLES, im_sz=IM_SZ, shapenet_obj_cood=True,
         )

@@ -49,7 +49,7 @@ def main(argv=None):
         opt_pose=args.opt_pose, reg_iters=args.reg_iters, dataset_frame=frame,
         pred_wlh=args.pred_wlh, add_pose_err=args.add_pose_err,
         batch_size=args.batch_size, save_freq=args.save_freq,
-        n_devices=args.devices, seed=args.seed,
+        n_devices=args.devices, seed=args.seed, vis=args.vis,
     )
     if args.cross_eval_folder:
         # evaluation-only resume from a previous optimization folder

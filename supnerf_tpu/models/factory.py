@@ -9,6 +9,11 @@ from supnerf_tpu.models.supnerf import SUPNeRF
 
 def build_model(arch: str, net_hyperparams: dict):
     hp = dict(net_hyperparams)
+    field_dtype = hp.get("field_dtype")
+    if field_dtype is not None and isinstance(field_dtype, str):
+        import jax.numpy as jnp
+
+        field_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[field_dtype]
     if arch == "supnerf":
         return SUPNeRF(
             shape_blocks=hp.get("shape_blocks", 5),
@@ -21,6 +26,7 @@ def build_model(arch: str, net_hyperparams: dict):
             norm_layer_type=hp.get("norm_layer_type", "BatchNorm2d"),
             pose_shortcut=bool(hp.get("pose_shortcut", 0)),
             pred_wlh=bool(hp.get("pred_wlh", 0)),
+            field_dtype=field_dtype,
         )
     if arch == "autorf":
         return AutoRFMix(

@@ -24,9 +24,15 @@ def linear_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
 
 
 class TorchDense(nn.Module):
-    """Dense layer with torch-default init (weights and bias U(±1/sqrt(fan_in)))."""
+    """Dense layer with torch-default init (weights and bias U(±1/sqrt(fan_in))).
+
+    dtype: optional compute dtype (e.g. jnp.bfloat16). Params are stored in
+    float32 and cast at use; the MXU accumulates in float32
+    (preferred_element_type) so only operand precision drops.
+    """
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -35,6 +41,15 @@ class TorchDense(nn.Module):
         bias = self.param(
             "bias", lambda k, s: linear_bias_init(k, s, fan_in=fan_in), (self.features,)
         )
+        if self.dtype is not None:
+            import jax
+
+            y = jax.lax.dot_general(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return y + bias
         return x @ kernel + bias
 
 

@@ -50,27 +50,28 @@ class CodeNeRFDecoder(nn.Module):
     latent_dim: int = 256
     num_xyz_freq: int = 10
     num_dir_freq: int = 4
+    dtype: object = None  # compute dtype for the point matmuls (e.g. bfloat16)
 
     @nn.compact
     def __call__(self, xyz, viewdir, shapecode, texturecode):
         xyz_pe = positional_encoding(xyz, self.num_xyz_freq)
         dir_pe = positional_encoding(viewdir, self.num_dir_freq)
 
-        y = nn.relu(TorchDense(self.W, name="encoding_xyz")(xyz_pe))
+        y = nn.relu(TorchDense(self.W, dtype=self.dtype, name="encoding_xyz")(xyz_pe))
         for j in range(self.shape_blocks):
-            z = nn.relu(TorchDense(self.W, name=f"shape_latent_layer_{j + 1}")(shapecode))
+            z = nn.relu(TorchDense(self.W, dtype=self.dtype, name=f"shape_latent_layer_{j + 1}")(shapecode))
             y = y + jnp.broadcast_to(z, y.shape)
-            y = nn.relu(TorchDense(self.W, name=f"shape_layer_{j + 1}")(y))
-        y = TorchDense(self.W, name="encoding_shape")(y)
-        sigmas = nn.softplus(TorchDense(1, name="sigma")(y))
+            y = nn.relu(TorchDense(self.W, dtype=self.dtype, name=f"shape_layer_{j + 1}")(y))
+        y = TorchDense(self.W, dtype=self.dtype, name="encoding_shape")(y)
+        sigmas = nn.softplus(TorchDense(1, dtype=self.dtype, name="sigma")(y))
         y = jnp.concatenate([y, jnp.broadcast_to(dir_pe, y.shape[:-1] + dir_pe.shape[-1:])], axis=-1)
-        y = nn.relu(TorchDense(self.W, name="encoding_viewdir")(y))
+        y = nn.relu(TorchDense(self.W, dtype=self.dtype, name="encoding_viewdir")(y))
         for j in range(self.texture_blocks):
-            z = nn.relu(TorchDense(self.W, name=f"texture_latent_layer_{j + 1}")(texturecode))
+            z = nn.relu(TorchDense(self.W, dtype=self.dtype, name=f"texture_latent_layer_{j + 1}")(texturecode))
             y = y + jnp.broadcast_to(z, y.shape)
-            y = nn.relu(TorchDense(self.W, name=f"texture_layer_{j + 1}")(y))
-        h = nn.relu(TorchDense(self.W // 2, name="rgb_hidden")(y))
-        rgbs = TorchDense(3, name="rgb_out")(h)
+            y = nn.relu(TorchDense(self.W, dtype=self.dtype, name=f"texture_layer_{j + 1}")(y))
+        h = nn.relu(TorchDense(self.W // 2, dtype=self.dtype, name="rgb_hidden")(y))
+        rgbs = TorchDense(3, dtype=self.dtype, name="rgb_out")(h)
         return sigmas, rgbs
 
 

@@ -33,6 +33,7 @@ class SUPNeRF(nn.Module):
     norm_layer_type: str = "BatchNorm2d"
     pose_shortcut: bool = False
     pred_wlh: bool = False
+    field_dtype: object = None  # compute dtype for the NeRF field (e.g. bfloat16)
 
     def setup(self):
         if self.norm_layer_type != "BatchNorm2d":
@@ -53,6 +54,7 @@ class SUPNeRF(nn.Module):
             latent_dim=self.latent_dim,
             num_xyz_freq=self.num_xyz_freq,
             num_dir_freq=self.num_dir_freq,
+            dtype=self.field_dtype,
         )
         self.pose_refiner = PoseRefinerMLP(
             pose_blocks=self.pose_blocks,

@@ -1,0 +1,203 @@
+"""Fused Pallas TPU kernel for the conditioned NeRF field (the hot op).
+
+Evaluates the whole CodeNeRF-style decoder chain — positional-encoded points
+through 9 dense layers to (sigma, rgb) — inside ONE kernel per ray tile, with
+all weights resident in VMEM across the tile loop. This removes the per-layer
+HBM round-trips of the XLA path (each (M, 256) activation is ~1 MB per 1k
+points) and keeps the MXU fed with (TILE_M, K) x (K, 256) matmuls.
+
+Design notes (published config: W=256, shape_blocks=3, texture_blocks=1):
+  - The per-object latent projections (z_shape (3, 256), z_texture (1, 256))
+    are computed once per object OUTSIDE the kernel and broadcast-added inside.
+  - The viewdir concat is algebraically split: concat([y, dpe]) @ W_vd ==
+    y @ W_vd[:256] + dpe @ W_vd[256:], avoiding an in-kernel concat.
+  - Positional encodings are computed by XLA (cheap, fusable) and streamed as
+    (M, d_xyz) / (M, d_dir) tiles.
+  - Matmuls run in the requested dtype (bfloat16 by default) with float32
+    accumulation (preferred_element_type).
+  - Forward-only: training/TTO gradients use the flax path (autodiff); this
+    kernel accelerates inference renders and is wired behind
+    use_pallas=True in callers. Parity with the flax decoder is tested in
+    interpret mode on CPU and on-device on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from supnerf_tpu.models.nerf_mlp import positional_encoding
+
+
+def pack_decoder_params(decoder_params: dict, shape_blocks: int = 3,
+                        texture_blocks: int = 1) -> dict:
+    """Flatten flax CodeNeRFDecoder params into the kernel's operand dict.
+    decoder_params: variables['params']['decoder'] (or the decoder scope)."""
+    p = decoder_params
+
+    def kb(name):
+        return p[name]["kernel"], p[name]["bias"]
+
+    packed = {
+        "w_xyz": kb("encoding_xyz"),
+        "w_shape": [kb(f"shape_layer_{j + 1}") for j in range(shape_blocks)],
+        "w_shape_latent": [kb(f"shape_latent_layer_{j + 1}") for j in range(shape_blocks)],
+        "w_enc_shape": kb("encoding_shape"),
+        "w_sigma": kb("sigma"),
+        "w_vd": kb("encoding_viewdir"),
+        "w_texture": [kb(f"texture_layer_{j + 1}") for j in range(texture_blocks)],
+        "w_texture_latent": [kb(f"texture_latent_layer_{j + 1}") for j in range(texture_blocks)],
+        "w_rgb1": kb("rgb_hidden"),
+        "w_rgb2": kb("rgb_out"),
+    }
+    return packed
+
+
+def conditioned_latents(packed: dict, shapecode, texturecode):
+    """Per-object latent projections z_j = relu(code @ Wz + bz): returns
+    (z_shape (n_shape, W), z_texture (n_tex, W))."""
+    zs = jnp.stack([
+        jax.nn.relu(shapecode @ k + b) for k, b in packed["w_shape_latent"]
+    ])
+    zt = jnp.stack([
+        jax.nn.relu(texturecode @ k + b) for k, b in packed["w_texture_latent"]
+    ])
+    return zs, zt
+
+
+def _field_kernel(n_shape: int, n_tex: int, dtype,
+                  xpe_ref, dpe_ref, zs_ref, zt_ref,
+                  wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                  wes_ref, bes_ref, wsg_ref, bsg_ref,
+                  wvd_a_ref, wvd_b_ref, bvd_ref,
+                  wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
+                  sigma_ref, rgb_ref):
+    f32 = jnp.float32
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x.astype(dtype), w.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    y = jnp.maximum(mm(xpe_ref[:], wxyz_ref[:]) + bxyz_ref[:], 0.0)
+    for j in range(n_shape):
+        y = y + zs_ref[j][None, :]
+        y = jnp.maximum(mm(y, wsh_ref[j]) + bsh_ref[j][None, :], 0.0)
+    y = mm(y, wes_ref[:]) + bes_ref[:]
+    sigma = jax.nn.softplus(mm(y, wsg_ref[:]) + bsg_ref[:])
+    h = mm(y, wvd_a_ref[:]) + mm(dpe_ref[:], wvd_b_ref[:]) + bvd_ref[:]
+    h = jnp.maximum(h, 0.0)
+    for j in range(n_tex):
+        h = h + zt_ref[j][None, :]
+        h = jnp.maximum(mm(h, wtx_ref[j]) + btx_ref[j][None, :], 0.0)
+    hh = jnp.maximum(mm(h, wr1_ref[:]) + br1_ref[:], 0.0)
+    rgb = mm(hh, wr2_ref[:]) + br2_ref[:]
+    sigma_ref[:] = sigma
+    rgb_ref[:] = rgb
+
+
+@functools.partial(jax.jit, static_argnames=("shape_blocks", "texture_blocks",
+                                             "num_xyz_freq", "num_dir_freq",
+                                             "tile_m", "dtype", "interpret"))
+def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
+                         shape_blocks: int = 3, texture_blocks: int = 1,
+                         num_xyz_freq: int = 10, num_dir_freq: int = 4,
+                         tile_m: int = 1024, dtype: Any = jnp.bfloat16,
+                         interpret: bool = False):
+    """Evaluate the field for one object.
+
+    xyz/viewdir: (..., 3); shapecode/texturecode: (latent,).
+    Returns (sigmas (..., 1), rgbs (..., 3)) in float32.
+    """
+    lead_shape = xyz.shape[:-1]
+    xyz_f = xyz.reshape(-1, 3)
+    vd_f = viewdir.reshape(-1, 3)
+    M = xyz_f.shape[0]
+    pad = (-M) % tile_m
+    xpe = positional_encoding(xyz_f, num_xyz_freq)
+    dpe = positional_encoding(vd_f, num_dir_freq)
+    if pad:
+        xpe = jnp.pad(xpe, ((0, pad), (0, 0)))
+        dpe = jnp.pad(dpe, ((0, pad), (0, 0)))
+    Mp = M + pad
+    d_xyz = xpe.shape[-1]
+    d_dir = dpe.shape[-1]
+    W = packed["w_xyz"][0].shape[1]
+
+    zs, zt = conditioned_latents(packed, shapecode, texturecode)
+    w_vd, b_vd = packed["w_vd"]
+    wvd_a, wvd_b = w_vd[:W], w_vd[W:]
+
+    wsh = jnp.stack([k for k, _ in packed["w_shape"]])
+    bsh = jnp.stack([b for _, b in packed["w_shape"]])
+    wtx = jnp.stack([k for k, _ in packed["w_texture"]])
+    btx = jnp.stack([b for _, b in packed["w_texture"]])
+
+    grid = (Mp // tile_m,)
+    tile_spec = lambda d: pl.BlockSpec((tile_m, d), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_field_kernel, shape_blocks, texture_blocks, dtype)
+    sigma, rgb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            tile_spec(d_xyz), tile_spec(d_dir),
+            full(), full(),                    # zs, zt
+            full(), full(),                    # wxyz, bxyz
+            full(), full(),                    # wsh, bsh (stacked)
+            full(), full(),                    # wes, bes
+            full(), full(),                    # wsg, bsg
+            full(), full(), full(),            # wvd_a, wvd_b, bvd
+            full(), full(),                    # wtx, btx
+            full(), full(), full(), full(),    # wr1, br1, wr2, br2
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        xpe, dpe, zs, zt,
+        packed["w_xyz"][0], packed["w_xyz"][1],
+        wsh, bsh,
+        packed["w_enc_shape"][0], packed["w_enc_shape"][1],
+        packed["w_sigma"][0], packed["w_sigma"][1],
+        wvd_a, wvd_b, b_vd,
+        wtx, btx,
+        packed["w_rgb1"][0], packed["w_rgb1"][1],
+        packed["w_rgb2"][0], packed["w_rgb2"][1],
+    )
+    sigma = sigma[:M].reshape(*lead_shape, 1)
+    rgb = rgb[:M].reshape(*lead_shape, 3)
+    return sigma, rgb
+
+
+def make_pallas_field_fn(variables, *, decoder_scope: str = "decoder",
+                         shape_blocks: int = 3, texture_blocks: int = 1,
+                         num_xyz_freq: int = 10, num_dir_freq: int = 4,
+                         dtype: Any = jnp.bfloat16, interpret: bool = False):
+    """Build a field closure (xyz, viewdir, shapecode, texturecode) ->
+    (sigma, rgb) backed by the fused kernel, from a model's variables."""
+    packed = pack_decoder_params(
+        variables["params"][decoder_scope], shape_blocks, texture_blocks)
+
+    def field_fn(xyz, viewdir, shapecode, texturecode):
+        return field_forward_pallas(
+            packed, xyz, viewdir, shapecode, texturecode,
+            shape_blocks=shape_blocks, texture_blocks=texture_blocks,
+            num_xyz_freq=num_xyz_freq, num_dir_freq=num_dir_freq,
+            dtype=dtype, interpret=interpret)
+
+    return field_fn

@@ -62,7 +62,8 @@ def frustum_near_far(cam_pose, obj_diag):
 
 def render_rays_frustum(field_fn, key, cam_pose, K, roi, obj_diag, *,
                         n_samples: int, im_sz: int, shapenet_obj_cood: bool,
-                        kitti2nusc: bool = False, sym_flip=None):
+                        kitti2nusc: bool = False, sym_flip=None,
+                        return_samples: bool = False):
     """The TTO hot path (reference render_rays_v2): an im_sz x im_sz ray grid
     over the ROI, stratified samples in the frustum shell around the object
     distance, points normalized by obj_diag.
@@ -76,7 +77,10 @@ def render_rays_frustum(field_fn, key, cam_pose, K, roi, obj_diag, *,
     xyz, vds = apply_obj_coord_transform(xyz, vds, shapenet_obj_cood, kitti2nusc, sym_flip)
     sigmas, rgbs = field_fn(xyz, vds)
     rgb, depth, acc = volume_render(sigmas, rgbs, z_vals)
-    return {"rgb": rgb, "depth": depth, "acc_trans": acc}
+    out = {"rgb": rgb, "depth": depth, "acc_trans": acc}
+    if return_samples:
+        out.update(xyz=xyz, viewdir=vds, sigmas=sigmas)
+    return out
 
 
 def render_rays_at_pixels(field_fn, key, cam_pose, K, u_vec, v_vec, obj_diag, *,

@@ -78,6 +78,9 @@ class TTOConfig:
     kitti2nusc: bool = False    # KITTI/Waymo cross-domain field queries
     box_fac: float = 1.0        # refiner corner scale (KITTI BOX_FAC=1.1)
     pred_wlh_mode: int = 0      # 0: gt wlh; 1: predicted; 2: predicted-l/mean-wh
+    obj_sz_reg: bool = False    # box-limit density regularizer (reference :1412)
+    loss_obj_sz_coef: float = 1.0
+    sym_loss_coef: float = 0.0  # >0 enables the density-symmetry loss (:1435)
 
 
 @struct.dataclass
@@ -187,7 +190,7 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     keys = jax.random.split(key, B)
 
     def optimize_one(sc0, tc0, traj, obj_key, rgb_tgt, occ_tgt, K, K_inv,
-                     roi_nerf, diag, pose_gt, lid_u, lid_v, lid_d, lid_m):
+                     roi_nerf, diag, wlh_obj, pose_gt, lid_u, lid_v, lid_d, lid_m):
         refined = traj[-1]
         params0 = TTOParams(
             shapecode=sc0,
@@ -207,15 +210,28 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
         def loss_fn(p, pose_override, use_replay, it_key):
             pose_obj = jnp.where(use_replay, pose_override, pose_from_params(p))
             cam = invert_pose(pose_obj)
+            need_samples = cfg.sym_loss_coef > 0
             out = render_rays_frustum(
                 field_fn(p), it_key, cam, K, roi_nerf, diag,
                 n_samples=cfg.n_samples, im_sz=cfg.render_im_sz,
                 shapenet_obj_cood=cfg.shapenet_obj_cood,
-                kitti2nusc=cfg.kitti2nusc,
+                kitti2nusc=cfg.kitti2nusc, return_samples=need_samples,
             )
             loss_rgb = rgb_loss_masked(out["rgb"], rgb_tgt, occ_tgt)
             loss_occ = occupancy_loss(out["acc_trans"], occ_tgt)
             loss = loss_rgb + cfg.loss_occ_coef * loss_occ
+            if cfg.obj_sz_reg:
+                from supnerf_tpu.tto.regularizers import obj_sz_loss
+
+                loss = loss + cfg.loss_obj_sz_coef * obj_sz_loss(
+                    field_fn(p), jax.random.fold_in(it_key, 7), wlh_obj, diag,
+                    cfg.shapenet_obj_cood)
+            if need_samples:
+                from supnerf_tpu.tto.regularizers import sym_loss
+
+                loss = loss + cfg.sym_loss_coef * sym_loss(
+                    field_fn(p), out["xyz"], out["viewdir"], out["sigmas"],
+                    cfg.shapenet_obj_cood)
             psnr = masked_psnr(out["rgb"], rgb_tgt, occ_tgt)
             return loss, (psnr, pose_obj)
 
@@ -306,7 +322,7 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     results = jax.vmap(optimize_one)(
         shapecode0, texturecode0, pose_traj, keys,
         batch.rgb_tgt, batch.occ_tgt, batch.K, batch.K_inv,
-        batch.roi_nerf.astype(jnp.float32), obj_diag, batch.obj_pose_gt,
+        batch.roi_nerf.astype(jnp.float32), obj_diag, wlh_use, batch.obj_pose_gt,
         batch.lidar_u, batch.lidar_v, batch.lidar_depth, batch.lidar_valid,
     )
     results["pose_traj"] = pose_traj

@@ -79,7 +79,7 @@ class TTODriver:
                  dataset_frame: str = "nusc", pred_wlh: int = 0,
                  add_pose_err: int = 2, batch_size: int = 16,
                  save_freq: int = 100, n_devices: int | None = None,
-                 seed: int = 0):
+                 seed: int = 0, vis: int = 0, vis_im_sz: int = 128):
         self.model = model
         self.variables = variables
         self.mean_shape = jnp.asarray(mean_shape)
@@ -92,6 +92,8 @@ class TTODriver:
         self.dataset_frame = dataset_frame
         self.batch_size = batch_size
         self.save_freq = save_freq
+        self.vis = vis
+        self.vis_im_sz = vis_im_sz
         self.key = jax.random.PRNGKey(seed)
         self.cfg = cfg if cfg is not None else tto_config_from_hpams(
             hpams, reg_iters=reg_iters, opt_pose=opt_pose,
@@ -212,7 +214,76 @@ class TTODriver:
             self.T_eval[log_idx] = res["trans_err"][i].tolist()
             self.depth_err_mean[log_idx] = res["depth_err"][i].tolist()
             self.lidar_pts_cnt[log_idx] = int(np.asarray(prepped[i]["lidar_valid"]).sum())
+            if self.vis > 0:
+                self._save_vis(log_idx, prepped[i], res, i)
         return res
+
+    def _save_vis(self, log_idx: str, inputs, res, i: int):
+        """Render [rgb | depth | target] panels at the snapshot iterations
+        (vis=1: first and last; vis=2: all snapshots), plus an 8-view virtual
+        sheet at the end (reference output_single_view_vis :1479 /
+        save_virtual_img :1643)."""
+        import imageio.v2 as imageio
+
+        from supnerf_tpu.geometry.boxes import corners_of_box, view_points
+        from supnerf_tpu.render.renderer import render_full_image, render_virtual_views
+        from supnerf_tpu.utils.vis import panel_rgb_depth_gt, render_box, virtual_view_sheet
+        from supnerf_tpu.geometry.roi import roi_coord_trans
+
+        out_dir = os.path.join(self.save_dir, log_idx)
+        os.makedirs(out_dir, exist_ok=True)
+        n_code = res["shapecodes_saved"].shape[1]
+        code_iters = list(CODE_SAVE_ITERS)
+        sel = range(n_code) if self.vis >= 2 else [0, n_code - 1]
+        sz = self.vis_im_sz
+        roi = np.asarray(inputs["roi_nerf"], np.float32)
+        diag = float(np.linalg.norm(inputs["wlh"]))
+        gt_small = np.asarray(jax.image.resize(
+            jnp.asarray(inputs["rgb_tgt"]).reshape(
+                self.cfg.render_im_sz, self.cfg.render_im_sz, 3),
+            (sz, sz, 3), method="linear"))
+
+        for ci in sel:
+            sc = jnp.asarray(res["shapecodes_saved"][i, ci])
+            tc = jnp.asarray(res["texturecodes_saved"][i, ci])
+            pose = jnp.asarray(res["poses_saved"][i, ci])
+            from supnerf_tpu.geometry.boxes import invert_pose
+
+            cam = invert_pose(pose)
+            field = lambda xyz, vd: self.model.apply(self.variables, xyz, vd, sc, tc)
+            rgb, depth, _ = render_full_image(
+                field, cam, jnp.asarray(inputs["K"]), (jnp.asarray(roi), sz, sz),
+                diag, n_samples=self.cfg.n_samples,
+                shapenet_obj_cood=self.cfg.shapenet_obj_cood,
+                kitti2nusc=self.cfg.kitti2nusc, chunk=4096)
+            gt_vis = gt_small.copy()
+            uv = np.asarray(view_points(
+                corners_of_box(pose, jnp.asarray(inputs["wlh"])),
+                jnp.asarray(inputs["K"]), normalize=True))[:2]
+            u2, v2 = roi_coord_trans(uv[0] - roi[0], uv[1] - roi[1],
+                                     roi - np.array([roi[0], roi[1], roi[0], roi[1]]),
+                                     sz)
+            gt_vis = render_box(gt_vis, np.stack([u2, v2]),
+                                colors=((1, 144 / 255, 30 / 255),) * 3, linewidth=1)
+            t = code_iters[ci]
+            panel = panel_rgb_depth_gt(
+                np.asarray(rgb), np.asarray(depth), gt_vis,
+                psnr=float(res["psnr"][i, min(t, self.cfg.num_opts - 1)]),
+                depth_err=float(res["depth_err"][i, min(t, self.cfg.num_opts - 1)]),
+                rot_err=float(res["rot_err"][i, min(t, self.cfg.num_opts - 1)]),
+                trans_err=float(res["trans_err"][i, min(t, self.cfg.num_opts - 1)]))
+            imageio.imwrite(os.path.join(out_dir, f"opt{t:03d}.png"), panel)
+
+        if self.vis >= 1:
+            sc = jnp.asarray(res["final_shapecode"][i])
+            tc = jnp.asarray(res["final_texturecode"][i])
+            field = lambda xyz, vd: self.model.apply(self.variables, xyz, vd, sc, tc)
+            views = render_virtual_views(
+                field, diag, np.asarray(inputs["K"]), n_samples=self.cfg.n_samples,
+                shapenet_obj_cood=self.cfg.shapenet_obj_cood, pan_num=8,
+                img_sz=min(sz, 64), kitti2nusc=self.cfg.kitti2nusc)
+            imageio.imwrite(os.path.join(out_dir, "virt_final.png"),
+                            virtual_view_sheet(np.asarray(views)))
 
     def _encode_uv(self, img_in):
         def enc(img):
