@@ -22,7 +22,8 @@ class AutoRF(nn.Module):
 
     def setup(self):
         self.img_encoder = ImgEncoder(
-            latent_dim=self.latent_dim, heads=("shape", "texture")
+            latent_dim=self.latent_dim, heads=("shape", "texture"),
+            norm="instance" if self.norm_layer_type == "InstanceNorm2d" else "batch",
         )
         self.decoder = AutoRFDecoder(
             shape_blocks=self.shape_blocks,
@@ -50,7 +51,8 @@ class AutoRFMix(nn.Module):
 
     def setup(self):
         self.img_encoder = ImgEncoder(
-            latent_dim=self.latent_dim, heads=("shape", "texture")
+            latent_dim=self.latent_dim, heads=("shape", "texture"),
+            norm="instance" if self.norm_layer_type == "InstanceNorm2d" else "batch",
         )
         self.decoder = CodeNeRFDecoder(
             shape_blocks=self.shape_blocks,

@@ -20,7 +20,13 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from supnerf_tpu.models.layers import TorchDense, batch_norm, conv_kaiming_init
+from supnerf_tpu.models.layers import InstanceNorm, TorchDense, batch_norm, conv_kaiming_init
+
+
+def make_norm(norm: str, train: bool, name=None):
+    if norm == "instance":
+        return InstanceNorm(name=name)
+    return batch_norm(train, name=name)
 
 
 def conv3x3(features: int, stride: int = 1):
@@ -41,18 +47,19 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
         y = conv3x3(self.planes, self.stride)(x)
-        y = batch_norm(train)(y)
+        y = make_norm(self.norm, train)(y)
         y = nn.relu(y)
         y = conv3x3(self.planes)(y)
-        y = batch_norm(train)(y)
+        y = make_norm(self.norm, train)(y)
         if self.downsample:
             identity = conv1x1(self.planes, self.stride)(x)
-            identity = batch_norm(train)(identity)
+            identity = make_norm(self.norm, train)(identity)
         return nn.relu(y + identity)
 
 
@@ -60,13 +67,15 @@ class ResStage(nn.Module):
     planes: int
     blocks: int
     stride: int = 1
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         needs_ds = self.stride != 1 or x.shape[-1] != self.planes
-        x = BasicBlock(self.planes, self.stride, downsample=needs_ds)(x, train)
+        x = BasicBlock(self.planes, self.stride, downsample=needs_ds,
+                       norm=self.norm)(x, train)
         for _ in range(1, self.blocks):
-            x = BasicBlock(self.planes)(x, train)
+            x = BasicBlock(self.planes, norm=self.norm)(x, train)
         return x
 
 
@@ -87,25 +96,28 @@ class ImgEncoder(nn.Module):
     heads: Sequence[str] = ("shape", "texture", "pose")
     pred_wlh: bool = False
     pose_shortcut: bool = False
+    norm: str = "batch"  # "batch" (reference default) or "instance"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=conv_kaiming_init, name="conv1")(x)
-        x = batch_norm(train, name="bn1")(x)
+        x = make_norm(self.norm, train, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        x = ResStage(64, self.layers[0], name="layer1")(x, train)
-        x = ResStage(128, self.layers[1], stride=2, name="layer2")(x, train)
-        x = ResStage(256, self.layers[2], stride=2, name="layer3")(x, train)
+        x = ResStage(64, self.layers[0], norm=self.norm, name="layer1")(x, train)
+        x = ResStage(128, self.layers[1], stride=2, norm=self.norm, name="layer2")(x, train)
+        x = ResStage(256, self.layers[2], stride=2, norm=self.norm, name="layer3")(x, train)
 
         feats = {
-            h: ResStage(512, self.layers[3], stride=2, name=f"layer4_{h}")(x, train)
+            h: ResStage(512, self.layers[3], stride=2, norm=self.norm,
+                        name=f"layer4_{h}")(x, train)
             for h in self.heads
         }
         if self.pred_wlh:
-            feats["wlh"] = ResStage(512, self.layers[3], stride=2, name="layer4_wlh")(x, train)
+            feats["wlh"] = ResStage(512, self.layers[3], stride=2, norm=self.norm,
+                                    name="layer4_wlh")(x, train)
 
         if self.pose_shortcut and "pose" in self.heads:
             for h in ("shape", "texture"):

@@ -6,6 +6,7 @@ linear weights/bias uniform(±1/sqrt(fan_in)), BN scale 1 / bias 0.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from jax.nn.initializers import variance_scaling
@@ -64,6 +65,20 @@ class MLPStack(nn.Module):
         for w in self.widths:
             x = nn.relu(TorchDense(w)(x))
         return x
+
+
+class InstanceNorm(nn.Module):
+    """torch nn.InstanceNorm2d equivalent (affine=False, eps 1e-5): per-sample
+    per-channel normalization over the spatial dims. Supported as the
+    reference's alternative encoder norm (model_supnerf.py:169-171)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
 
 
 def batch_norm(train: bool, name: str | None = None):

@@ -36,16 +36,12 @@ class SUPNeRF(nn.Module):
     field_dtype: object = None  # compute dtype for the NeRF field (e.g. bfloat16)
 
     def setup(self):
-        if self.norm_layer_type != "BatchNorm2d":
-            raise NotImplementedError(
-                "Only BatchNorm2d encoders are supported (the published configs "
-                "never use InstanceNorm2d)."
-            )
         self.img_encoder = ImgEncoder(
             latent_dim=self.latent_dim,
             heads=("shape", "texture", "pose"),
             pred_wlh=bool(self.pred_wlh),
             pose_shortcut=bool(self.pose_shortcut),
+            norm="instance" if self.norm_layer_type == "InstanceNorm2d" else "batch",
         )
         self.decoder = CodeNeRFDecoder(
             shape_blocks=self.shape_blocks,

@@ -124,6 +124,15 @@ class UnifiedTrainer:
 
     def _prepare_row(self, idx: int):
         s = self.dataset[idx]
+        if self.aug_box2d:
+            # jitter the 2D box scale and position (reference
+            # data_nuscenes.py:620-626)
+            from supnerf_tpu.geometry.roi import roi_resize
+
+            s = dict(s)
+            roi_aug = np.asarray(roi_resize(s["rois"], self.rng.uniform(0.9, 1.1)))
+            roi_aug = roi_aug + self.rng.uniform(-5, 5)
+            s["rois"] = roi_aug.astype(np.int32)
         K = jnp.asarray(s["cam_intrinsics"])
         roi_f = jnp.asarray(np.asarray(s["rois"], np.float32))
         self.key, k = jax.random.split(self.key)
