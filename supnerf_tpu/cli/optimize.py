@@ -60,6 +60,9 @@ def main(argv=None):
         driver.optimized_shapecodes = saved["optimized_shapecodes"]
         driver.optimized_texturecodes = saved["optimized_texturecodes"]
         driver.optimized_poses = saved["optimized_poses"]
+    elif args.opt_multiview:
+        driver.run_multiview(opt_pose=args.opt_pose > 0)
+        return
     else:
         driver.run()
     cross = driver.eval_cross_view() if ds_name in ("nusc", "synthetic") else None

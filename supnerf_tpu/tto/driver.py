@@ -172,6 +172,7 @@ class TTODriver:
         n = len(self.dataset)
         for start in range(0, n, self.batch_size):
             idxs = list(range(start, min(start + self.batch_size, n)))
+            print(f"num obj: {start}/{n}")
             self.optimize_object_batch(idxs)
             if (start // self.batch_size) % max(self.save_freq // self.batch_size, 1) == 0 \
                     or start + self.batch_size >= n:
@@ -214,6 +215,10 @@ class TTODriver:
             self.T_eval[log_idx] = res["trans_err"][i].tolist()
             self.depth_err_mean[log_idx] = res["depth_err"][i].tolist()
             self.lidar_pts_cnt[log_idx] = int(np.asarray(prepped[i]["lidar_valid"]).sum())
+            print(f"  {log_idx}: psnr {res['psnr'][i, 0]:.2f} -> {res['psnr'][i, -1]:.2f}, "
+                  f"RE {res['rot_err'][i, 0]:.3f} -> {res['rot_err'][i, -1]:.3f}, "
+                  f"TE {res['trans_err'][i, 0]:.3f} -> {res['trans_err'][i, -1]:.3f}, "
+                  f"DE {res['depth_err'][i, 0]:.3f} -> {res['depth_err'][i, -1]:.3f}")
             if self.vis > 0:
                 self._save_vis(log_idx, prepped[i], res, i)
         return res
@@ -311,6 +316,49 @@ class TTODriver:
     def save_results(self, name: str = "codes+poses.pkl"):
         with open(os.path.join(self.save_dir, name), "wb") as f:
             pickle.dump(self.results_dict(), f)
+
+    def run_multiview(self, v_max: int = 4, opt_pose: bool = False):
+        """Joint multiview optimization per instance (reference
+        optimize_objs_multi_anns[_w_pose] — shared codes across all views of an
+        instance). Views are padded to v_max for one compiled program."""
+        from supnerf_tpu.tto.multiview import MultiviewBatch, run_multiview_tto
+
+        by_ins = {}
+        for idx in range(len(self.dataset)):
+            s = self.dataset[idx]
+            by_ins.setdefault(s.get("instoken", str(idx)), []).append(idx)
+
+        mv_jit = jax.jit(lambda b, k: run_multiview_tto(
+            self.model, self.variables, b, self.mean_shape, self.mean_texture,
+            self.cfg, k, opt_pose=opt_pose))
+
+        for ins, idx_list in by_ins.items():
+            idx_list = idx_list[:v_max]
+            prepped = [self._prep_one(i)[0] for i in idx_list]
+            V = len(prepped)
+            rows = prepped + [prepped[-1]] * (v_max - V)
+            stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            batch = MultiviewBatch(
+                img_in=jnp.asarray(stacked["img_in"]),
+                rgb_tgt=jnp.asarray(stacked["rgb_tgt"]),
+                occ_tgt=jnp.asarray(stacked["occ_tgt"]),
+                K=jnp.asarray(stacked["K"]),
+                roi_nerf=jnp.asarray(stacked["roi_nerf"]),
+                pose_init=jnp.asarray(stacked["pose_init"]),
+                wlh=jnp.asarray(stacked["wlh"]),
+                obj_pose_gt=jnp.asarray(stacked["obj_pose_gt"]),
+                view_valid=jnp.asarray(
+                    [1.0] * V + [0.0] * (v_max - V), jnp.float32),
+            )
+            self.key, k = jax.random.split(self.key)
+            res = jax.tree.map(np.asarray, mv_jit(batch, k))
+            self.optimized_shapecodes[ins] = res["shapecodes_saved"]
+            self.optimized_texturecodes[ins] = res["texturecodes_saved"]
+            self.psnr_eval[ins] = res["psnr"].tolist()
+            print(f"  multiview {ins} ({V} views): psnr "
+                  f"{res['psnr'][0]:.2f} -> {res['psnr'][-1]:.2f}")
+        self.save_results(name="codes_multiview.pkl")
+        return self.results_dict()
 
     # ------------------------------------------------- cross-view evaluation
     def eval_cross_view(self, vis_iter=None):
