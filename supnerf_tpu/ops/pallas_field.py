@@ -77,27 +77,35 @@ def _field_kernel(n_shape: int, n_tex: int, dtype,
                   wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
                   sigma_ref, rgb_ref):
     f32 = jnp.float32
+    # Mosaic requires 32-bit matmul accumulation; intermediate activations are
+    # cast back to the compute dtype after each layer so VMEM traffic and the
+    # next matmul's operands stay narrow. Only the sigma/rgb heads emit f32.
+    act = dtype
 
-    def mm(x, w):
-        return jax.lax.dot_general(
+    def mm(x, w, out=None):
+        y = jax.lax.dot_general(
             x.astype(dtype), w.astype(dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
+        return y if out is f32 else y.astype(act)
 
-    y = jnp.maximum(mm(xpe_ref[:], wxyz_ref[:]) + bxyz_ref[:], 0.0)
+    def cast(x):
+        return x.astype(act)
+
+    y = jnp.maximum(mm(xpe_ref[:], wxyz_ref[:]) + cast(bxyz_ref[:]), 0)
     for j in range(n_shape):
-        y = y + zs_ref[j][None, :]
-        y = jnp.maximum(mm(y, wsh_ref[j]) + bsh_ref[j][None, :], 0.0)
-    y = mm(y, wes_ref[:]) + bes_ref[:]
-    sigma = jax.nn.softplus(mm(y, wsg_ref[:]) + bsg_ref[:])
-    h = mm(y, wvd_a_ref[:]) + mm(dpe_ref[:], wvd_b_ref[:]) + bvd_ref[:]
-    h = jnp.maximum(h, 0.0)
+        y = y + cast(zs_ref[j][None, :])
+        y = jnp.maximum(mm(y, wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0)
+    y = mm(y, wes_ref[:]) + cast(bes_ref[:])
+    sigma = jax.nn.softplus(mm(y, wsg_ref[:], out=f32) + bsg_ref[:])
+    h = mm(y, wvd_a_ref[:]) + mm(dpe_ref[:], wvd_b_ref[:]) + cast(bvd_ref[:])
+    h = jnp.maximum(h, 0)
     for j in range(n_tex):
-        h = h + zt_ref[j][None, :]
-        h = jnp.maximum(mm(h, wtx_ref[j]) + btx_ref[j][None, :], 0.0)
-    hh = jnp.maximum(mm(h, wr1_ref[:]) + br1_ref[:], 0.0)
-    rgb = mm(hh, wr2_ref[:]) + br2_ref[:]
+        h = h + cast(zt_ref[j][None, :])
+        h = jnp.maximum(mm(h, wtx_ref[j]) + cast(btx_ref[j][None, :]), 0)
+    hh = jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0)
+    rgb = mm(hh, wr2_ref[:], out=f32) + br2_ref[:]
     sigma_ref[:] = sigma
     rgb_ref[:] = rgb
 

@@ -56,6 +56,9 @@ class TrainConfig:
     im_enc_rate: float = 1.0
     finetune_wlh: bool = False
     latent_dim: int = 256
+    grad_clip: float = 0.0        # >0 enables global-norm gradient clipping
+    lr_schedule_type: str = "step"  # "step" (reference) or "cosine"
+    cosine_total_steps: int = 200000
 
 
 @struct.dataclass
@@ -97,11 +100,18 @@ def make_code_table(key, n_instances: int, latent_dim: int):
 
 def _make_optimizers(cfg: TrainConfig):
     def sched(lr, interval):
+        if cfg.lr_schedule_type == "cosine":
+            return optax.cosine_decay_schedule(lr, cfg.cosine_total_steps)
         return lambda t: lr * 2.0 ** (-(t // interval))
 
-    tx_model = optax.adamw(sched(cfg.lr_model, cfg.lr_interval_model), weight_decay=0.01)
-    tx_codes = optax.adamw(sched(cfg.lr_codes, cfg.lr_interval_codes), weight_decay=0.01)
-    return tx_model, tx_codes
+    def build(lr, interval):
+        tx = optax.adamw(sched(lr, interval), weight_decay=0.01)
+        if cfg.grad_clip > 0:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+        return tx
+
+    return (build(cfg.lr_model, cfg.lr_interval_model),
+            build(cfg.lr_codes, cfg.lr_interval_codes))
 
 
 def init_train_state(model, key, n_instances: int, cfg: TrainConfig,

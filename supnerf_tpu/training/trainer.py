@@ -188,7 +188,44 @@ class UnifiedTrainer:
             self.key, k = jax.random.split(self.key)
             self.state, metrics = self.step_fn(self.state, batch, k)
             self._log(metrics, time.time() - t0)
+            if int(self.state.niter) % self.check_iter == 0:
+                self._log_vis(idxs[0])
             t0 = time.time()
+
+    def _log_vis(self, idx: int):
+        """Render a [generated | target] panel for one sample of the batch and
+        log it (reference training_epoch :348-385 tensorboard panels)."""
+        if self.writer is None:
+            return
+        try:
+            s = self.dataset[idx]
+            from supnerf_tpu.geometry.boxes import invert_pose
+            from supnerf_tpu.geometry.roi import crop_and_whiten, resize_bilinear_np, roi_process
+            from supnerf_tpu.render.renderer import render_full_image
+
+            code_idx = self.instoken2idx[s.get("instoken", str(idx))]
+            sc = jnp.asarray(np.asarray(self.state.shape_codes)[code_idx])
+            tc = jnp.asarray(np.asarray(self.state.texture_codes)[code_idx])
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+            roi = roi_process(s["rois"], s["imgs"].shape[0], s["imgs"].shape[1],
+                              self.hpams.get("roi_margin", 5), sq_pad=True)
+            diag = float(np.linalg.norm(s["wlh"]))
+            sz = 64
+            img, _, _ = render_full_image(
+                lambda x, v: self.model.apply(variables, x, v, sc, tc),
+                jnp.asarray(s["cam_poses"]), jnp.asarray(s["cam_intrinsics"]),
+                (jnp.asarray(roi, jnp.float32), sz, sz), diag,
+                n_samples=self.hpams.get("n_samples", 64),
+                shapenet_obj_cood=bool(self.hpams.get("shapenet_obj_cood", 1)))
+            crop, _ = crop_and_whiten(s["imgs"], s["masks_occ"], roi)
+            gt = resize_bilinear_np(crop, (sz, sz))
+            panel = np.concatenate([np.clip(np.asarray(img), 0, 1), gt], axis=1)
+            self.writer.add_image(
+                "train_panel", (panel * 255).astype(np.uint8).transpose(2, 0, 1),
+                int(self.state.niter))
+        except Exception as e:  # visualization must never kill training
+            print(f"vis logging failed: {e}")
 
     def _log(self, metrics, dt):
         niter = int(self.state.niter)

@@ -79,7 +79,8 @@ class TTODriver:
                  dataset_frame: str = "nusc", pred_wlh: int = 0,
                  add_pose_err: int = 2, batch_size: int = 16,
                  save_freq: int = 100, n_devices: int | None = None,
-                 seed: int = 0, vis: int = 0, vis_im_sz: int = 128):
+                 seed: int = 0, vis: int = 0, vis_im_sz: int = 128,
+                 use_pallas: bool = False):
         self.model = model
         self.variables = variables
         self.mean_shape = jnp.asarray(mean_shape)
@@ -103,6 +104,20 @@ class TTODriver:
         self.mesh = make_mesh(n_devices) if n_devices else None
         if self.mesh is not None:
             self.variables = replicate_pytree(self.variables, self.mesh)
+
+        # forward-only renders (cross-view eval, vis) can use the fused Pallas
+        # field kernel; the optimization loop itself needs autodiff and stays
+        # on the flax path.
+        self._pallas_field = None
+        if use_pallas:
+            from supnerf_tpu.ops.pallas_field import make_pallas_field_fn
+
+            self._pallas_field = make_pallas_field_fn(
+                self.variables,
+                shape_blocks=getattr(model, "shape_blocks", 3),
+                texture_blocks=getattr(model, "texture_blocks", 1),
+                num_xyz_freq=getattr(model, "num_xyz_freq", 10),
+                num_dir_freq=getattr(model, "num_dir_freq", 4))
 
         self._tto_jit = jax.jit(
             lambda v, b, k: run_tto_batch(self.model, v, b, self.mean_shape,
@@ -255,7 +270,7 @@ class TTODriver:
             from supnerf_tpu.geometry.boxes import invert_pose
 
             cam = invert_pose(pose)
-            field = lambda xyz, vd: self.model.apply(self.variables, xyz, vd, sc, tc)
+            field = self._field_for(sc, tc)
             rgb, depth, _ = render_full_image(
                 field, cam, jnp.asarray(inputs["K"]), (jnp.asarray(roi), sz, sz),
                 diag, n_samples=self.cfg.n_samples,
@@ -282,13 +297,18 @@ class TTODriver:
         if self.vis >= 1:
             sc = jnp.asarray(res["final_shapecode"][i])
             tc = jnp.asarray(res["final_texturecode"][i])
-            field = lambda xyz, vd: self.model.apply(self.variables, xyz, vd, sc, tc)
+            field = self._field_for(sc, tc)
             views = render_virtual_views(
                 field, diag, np.asarray(inputs["K"]), n_samples=self.cfg.n_samples,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood, pan_num=8,
                 img_sz=min(sz, 64), kitti2nusc=self.cfg.kitti2nusc)
             imageio.imwrite(os.path.join(out_dir, "virt_final.png"),
                             virtual_view_sheet(np.asarray(views)))
+
+    def _field_for(self, sc, tc):
+        if self._pallas_field is not None:
+            return lambda xyz, vd: self._pallas_field(xyz, vd, sc, tc)
+        return lambda xyz, vd: self.model.apply(self.variables, xyz, vd, sc, tc)
 
     def _encode_uv(self, img_in):
         def enc(img):
@@ -381,8 +401,7 @@ class TTODriver:
         def render_metrics(sc, tc, inputs):
             diag = float(np.linalg.norm(inputs["wlh"]))
             cam = invert_pose(jnp.asarray(inputs["obj_pose_gt"]))
-            field = lambda xyz, vd: self.model.apply(
-                self.variables, xyz, vd, jnp.asarray(sc), jnp.asarray(tc))
+            field = self._field_for(jnp.asarray(sc), jnp.asarray(tc))
             out = render_rays_frustum(
                 field, jax.random.PRNGKey(0), cam, jnp.asarray(inputs["K"]),
                 jnp.asarray(inputs["roi_nerf"], jnp.float32), diag,
