@@ -26,7 +26,47 @@ jax.config.update("jax_compilation_cache_dir",
 import jax.numpy as jnp
 
 
+def bench_tto():
+    """Full test-time-optimization throughput: objects/min through the
+    published pipeline (encode + refine + 100 Adam iterations at 1024 rays x
+    64 samples) as one jitted program per object batch."""
+    import jax.numpy as jnp
+
+    from supnerf_tpu.data.synthetic import make_object_batch
+    from supnerf_tpu.models import build_model, init_model_variables
+    from supnerf_tpu.tto.core import ObjectBatch, TTOConfig, run_tto_batch
+
+    model = build_model("supnerf", {
+        "shape_blocks": 3, "texture_blocks": 1, "latent_dim": 256,
+        "pose_shortcut": 1, "pred_wlh": 0,
+    })
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
+    B = int(os.environ.get("BENCH_OBJECTS", "32"))
+    cfg = TTOConfig()  # published defaults: 100 opts, 32^2 rays, 64 samples
+    raw, _ = make_object_batch(B, seed=0, in_img_sz=128, render_im_sz=32,
+                               n_lidar=256)
+    batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+    zeros = jnp.zeros(256)
+    fn = jax.jit(lambda v, b, k: run_tto_batch(model, v, b, zeros, zeros, cfg, k))
+    jax.block_until_ready(fn(variables, batch, jax.random.PRNGKey(0)))
+    t0 = time.perf_counter()
+    out = fn(variables, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    obj_per_min = B / dt * 60
+    print(json.dumps({
+        "metric": "tto_objects_per_min_per_chip",
+        "value": round(obj_per_min, 2),
+        "unit": "objects/min",
+        # the reference optimizes objects serially on GPU at roughly 6/min
+        # (~10 s/object: 100 iters + per-iter eval renders; no published number)
+        "vs_baseline": round(obj_per_min / 6.0, 2),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_METRIC", "").lower() == "tto":
+        return bench_tto()
     from supnerf_tpu.models import build_model, init_model_variables
     from supnerf_tpu.render.renderer import render_rays_frustum
 

@@ -77,10 +77,11 @@ def _field_kernel(n_shape: int, n_tex: int, dtype,
                   wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
                   sigma_ref, rgb_ref):
     f32 = jnp.float32
-    # Mosaic requires 32-bit matmul accumulation; intermediate activations are
-    # cast back to the compute dtype after each layer so VMEM traffic and the
-    # next matmul's operands stay narrow. Only the sigma/rgb heads emit f32.
-    act = dtype
+    # Mosaic requires 32-bit matmul accumulation. Activations are STORED in
+    # f32 between layers: bf16 storage was measured ~20% slower on v5e (the
+    # per-layer casts cost more VPU time than the saved VMEM bandwidth);
+    # operands are cast to the compute dtype at each matmul.
+    act = f32
 
     def mm(x, w, out=None):
         y = jax.lax.dot_general(
