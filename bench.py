@@ -41,7 +41,7 @@ def bench_tto():
         "pose_shortcut": 1, "pred_wlh": 0,
     })
     variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
-    B = int(os.environ.get("BENCH_OBJECTS", "32"))
+    B = int(os.environ.get("BENCH_OBJECTS", "16"))
     cfg = TTOConfig()  # published defaults: 100 opts, 32^2 rays, 64 samples
     raw, _ = make_object_batch(B, seed=0, in_img_sz=128, render_im_sz=32,
                                n_lidar=256)
@@ -65,7 +65,10 @@ def bench_tto():
 
 
 def main():
-    if os.environ.get("BENCH_METRIC", "").lower() == "tto":
+    # Default metric: full test-time-optimization throughput (the product-level
+    # north star — the reference optimizes objects serially). Set
+    # BENCH_METRIC=render for raw renderer rays/s.
+    if os.environ.get("BENCH_METRIC", "tto").lower() == "tto":
         return bench_tto()
     from supnerf_tpu.models import build_model, init_model_variables
     from supnerf_tpu.render.renderer import render_rays_frustum

@@ -79,6 +79,7 @@ class UnifiedTrainer:
         self.aug_box2d = aug_box2d
         self.cfg = train_config_from_hpams(hpams, im_enc_rate, finetune_wlh)
         self.rng = np.random.default_rng(seed)
+        self._base_seed = seed
         self.key = jax.random.PRNGKey(seed)
         self.nepoch = 0
         self.check_iter = check_iter
@@ -122,7 +123,9 @@ class UnifiedTrainer:
         s = self.dataset[i]
         return s.get("instoken", str(i)) if isinstance(s, dict) else str(i)
 
-    def _prepare_row(self, idx: int):
+    def _prepare_row(self, idx: int, salt: int = 0):
+        """Thread-safe: all randomness derives from (seed, salt, idx)."""
+        rng = np.random.default_rng((self._base_seed, salt, int(idx)))
         s = self.dataset[idx]
         if self.aug_box2d:
             # jitter the 2D box scale and position (reference
@@ -130,12 +133,12 @@ class UnifiedTrainer:
             from supnerf_tpu.geometry.roi import roi_resize
 
             s = dict(s)
-            roi_aug = np.asarray(roi_resize(s["rois"], self.rng.uniform(0.9, 1.1)))
-            roi_aug = roi_aug + self.rng.uniform(-5, 5)
+            roi_aug = np.asarray(roi_resize(s["rois"], rng.uniform(0.9, 1.1)))
+            roi_aug = roi_aug + rng.uniform(-5, 5)
             s["rois"] = roi_aug.astype(np.int32)
         K = jnp.asarray(s["cam_intrinsics"])
         roi_f = jnp.asarray(np.asarray(s["rois"], np.float32))
-        self.key, k = jax.random.split(self.key)
+        k = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
         src_pose = np.asarray(pose_gen.get_random_pose2(k, K, roi_f, trans_lim=0.3))
         row = prepare_train_sample(
             s,
@@ -145,13 +148,13 @@ class UnifiedTrainer:
             roi_margin=self.hpams.get("roi_margin", 5),
             shapenet_obj_cood=bool(self.hpams.get("shapenet_obj_cood", 1)),
             sym_aug=bool(self.hpams.get("sym_aug", 0)),
-            rng=self.rng,
+            rng=rng,
             render_sz=self.hpams.get("render_sz"),
             src_pose=src_pose,
             code_idx=self.instoken2idx[s.get("instoken", str(idx))],
         )
         if self.aug_wlh:
-            fac = self.rng.uniform(0.9, 1.1, 3).astype(np.float32)
+            fac = rng.uniform(0.9, 1.1, 3).astype(np.float32)
             fac[2] = 1.0 / (fac[0] * fac[1])
             wlh_aug = row["wlh"] * fac
             uv_aug = np.asarray(view_points(
@@ -178,18 +181,27 @@ class UnifiedTrainer:
             self.nepoch += 1
         return self.state
 
-    def training_epoch(self):
+    def training_epoch(self, num_workers: int = 4):
+        from supnerf_tpu.training.prefetch import PrefetchBatcher
+
         order = self.rng.permutation(len(self.dataset))
-        n_batches = len(order) // self.batch_size
+
+        def collate(rows):
+            stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            batch = TrainBatch(**{k: jnp.asarray(v) for k, v in stacked.items()})
+            return shard_pytree_batch(batch, self.mesh) if self.mesh is not None else batch
+
+        salt = int(self.nepoch) + 1
+        batcher = PrefetchBatcher(lambda i: self._prepare_row(i, salt), collate,
+                                  order, self.batch_size, num_workers=num_workers)
         t0 = time.time()
-        for bi in range(n_batches):
-            idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-            batch = self._make_batch(idxs)
+        first_idx = int(order[0]) if len(order) else 0
+        for batch in batcher:
             self.key, k = jax.random.split(self.key)
             self.state, metrics = self.step_fn(self.state, batch, k)
             self._log(metrics, time.time() - t0)
             if int(self.state.niter) % self.check_iter == 0:
-                self._log_vis(idxs[0])
+                self._log_vis(first_idx)
             t0 = time.time()
 
     def _log_vis(self, idx: int):

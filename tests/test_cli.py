@@ -1,0 +1,78 @@
+"""CLI argument-surface and config-system tests (fast, no device work)."""
+import json
+import os
+
+import pytest
+
+from supnerf_tpu.config import DEFAULT_HPAMS, find_config, load_hpams
+
+
+def test_load_reference_format_config(tmp_path):
+    cfg = {"arch": "supnerf", "n_rays": 512,
+           "net_hyperparams": {"latent_dim": 128},
+           "optimize": {"num_opts": 50}}
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    hp = load_hpams(str(p))
+    assert hp["n_rays"] == 512
+    assert hp["net_hyperparams"]["latent_dim"] == 128
+    # nested dicts merge with defaults
+    assert hp["net_hyperparams"]["num_xyz_freq"] == 10
+    assert hp["optimize"]["num_opts"] == 50
+    assert hp["optimize"]["lr_shape"] == 0.02
+
+
+def test_find_config_resolves_jsonfiles():
+    p = find_config("supnerf.nusc.vehicle.car.json")
+    assert os.path.exists(p)
+    hp = load_hpams(p)
+    assert hp["arch"] == "supnerf"
+    assert hp["net_hyperparams"]["shape_blocks"] == 3
+    assert hp["n_rays"] == 1024 and hp["n_samples"] == 64
+    with pytest.raises(FileNotFoundError):
+        find_config("nope.json")
+
+
+def test_all_shipped_configs_load():
+    import glob
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = glob.glob(os.path.join(here, "jsonfiles", "*.json"))
+    assert len(files) == 7
+    for f in files:
+        hp = load_hpams(f)
+        assert hp["arch"] in ("supnerf", "autorfmix")
+        from supnerf_tpu.models import build_model
+
+        arch = "autorf" if hp["arch"] == "autorfmix" else hp["arch"]
+        model = build_model(arch, hp["net_hyperparams"])
+        assert model is not None
+
+
+def test_optimize_cli_arg_surface():
+    import argparse
+
+    from supnerf_tpu.cli.common import add_common_args, add_optimize_args
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    add_optimize_args(p)
+    args = p.parse_args([
+        "--config_file", "x.json", "--add_pose_err", "2", "--reg_iters", "3",
+        "--opt_pose", "2", "--vis", "1", "--pred_wlh", "2",
+        "--num_subset", "4", "--id_subset", "1", "--opt_multiview", "true",
+        "--cross_eval_folder", "/tmp/x", "--batch_size", "8",
+    ])
+    assert args.opt_pose == 2 and args.pred_wlh == 2
+    assert args.opt_multiview is True
+    assert args.num_subset == 4 and args.id_subset == 1
+
+
+def test_train_cli_arg_surface():
+    from supnerf_tpu.cli.train import main
+
+    # --help style smoke: parse-only via a dry argv raising SystemExit on -h
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["-h"])
