@@ -211,11 +211,17 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             pose_obj = jnp.where(use_replay, pose_override, pose_from_params(p))
             cam = invert_pose(pose_obj)
             need_samples = cfg.sym_loss_coef > 0
+            sym_flip = None
+            if cfg.sym_aug:
+                # random lateral flip of the sampled points (reference
+                # render_rays_v2 sym_aug, utils.py:474-477)
+                sym_flip = jax.random.bernoulli(jax.random.fold_in(it_key, 3))
             out = render_rays_frustum(
                 field_fn(p), it_key, cam, K, roi_nerf, diag,
                 n_samples=cfg.n_samples, im_sz=cfg.render_im_sz,
                 shapenet_obj_cood=cfg.shapenet_obj_cood,
-                kitti2nusc=cfg.kitti2nusc, return_samples=need_samples,
+                kitti2nusc=cfg.kitti2nusc, sym_flip=sym_flip,
+                return_samples=need_samples,
             )
             loss_rgb = rgb_loss_masked(out["rgb"], rgb_tgt, occ_tgt)
             loss_occ = occupancy_loss(out["acc_trans"], occ_tgt)
