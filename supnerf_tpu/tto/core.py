@@ -147,7 +147,6 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
       refiner trajectory. All leaves have leading dim B.
     """
     B = batch.img_in.shape[0]
-    n_code = len(CODE_SAVE_ITERS)
 
     # ---- 1) encoder (per-object BN batch stats via vmap over batch-of-one) --
     def encode_one(img):
@@ -183,13 +182,12 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
         posecode, batch.pose_init, wlh_use, batch.roi_refine.astype(jnp.float32),
         batch.K, batch.K_inv,
     )  # (B, reg_iters+1, 3, 4)
-    pose_refined = pose_traj[:, -1]
 
     # ---- 3) jitted optimization loop (vmapped over objects) -----------------
     tx = _make_optimizer(cfg)
     keys = jax.random.split(key, B)
 
-    def optimize_one(sc0, tc0, traj, obj_key, rgb_tgt, occ_tgt, K, K_inv,
+    def optimize_one(sc0, tc0, traj, obj_key, rgb_tgt, occ_tgt, K,
                      roi_nerf, diag, wlh_obj, pose_gt, lid_u, lid_v, lid_d, lid_m):
         refined = traj[-1]
         params0 = TTOParams(
@@ -327,7 +325,7 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
 
     results = jax.vmap(optimize_one)(
         shapecode0, texturecode0, pose_traj, keys,
-        batch.rgb_tgt, batch.occ_tgt, batch.K, batch.K_inv,
+        batch.rgb_tgt, batch.occ_tgt, batch.K,
         batch.roi_nerf.astype(jnp.float32), obj_diag, wlh_use, batch.obj_pose_gt,
         batch.lidar_u, batch.lidar_v, batch.lidar_depth, batch.lidar_valid,
     )
@@ -335,7 +333,6 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     results["uv_direct"] = uv_direct
     results["wlh_pred"] = wlh_pred
     results["wlh_used"] = wlh_use
-    del n_code
     return results
 
 
