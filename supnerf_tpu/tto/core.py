@@ -81,6 +81,8 @@ class TTOConfig:
     obj_sz_reg: bool = False    # box-limit density regularizer (reference :1412)
     loss_obj_sz_coef: float = 1.0
     sym_loss_coef: float = 0.0  # >0 enables the density-symmetry loss (:1435)
+    remat_field: bool = True    # rematerialize the field in the backward pass
+                                # (cuts multi-GB activation stashes per iter)
 
 
 @struct.dataclass
@@ -149,18 +151,39 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     B = batch.img_in.shape[0]
 
     # ---- 1) encoder (per-object BN batch stats via vmap over batch-of-one) --
+    # SUPNeRF encoders return (shape, texture, pose, uv, wlh); AutoRF-style
+    # baselines return (shape, texture) and have no pose stream (reference
+    # optimize_objs_w_pose :309-327 — their pose starts at the injected-error
+    # init with no feed-forward refinement). CodeNeRF has no encoder at all.
+    has_encoder = hasattr(type(model), "encode_img")
+    has_refiner = hasattr(type(model), "pose_update")
+    latent = mean_shape.shape[-1]
+
     def encode_one(img):
-        (sc, tc, pc, uv, wlh_pred), _ = model.apply(
+        out, _ = model.apply(
             variables, img[None], True, method=type(model).encode_img,
             mutable=["batch_stats"],
         )
-        if wlh_pred is None:
+        if len(out) == 2:
+            sc, tc = out
+            pc = jnp.zeros((1, latent))
+            uv = jnp.zeros((1, 16))
             wlh_pred = jnp.zeros((1, 3))
+        else:
+            sc, tc, pc, uv, wlh_pred = out
+            if wlh_pred is None:
+                wlh_pred = jnp.zeros((1, 3))
         return sc[0], tc[0], pc[0], uv[0], wlh_pred[0]
 
-    shapecode_enc, texturecode_enc, posecode, uv_direct, wlh_pred = jax.vmap(encode_one)(
-        batch.img_in
-    )
+    if has_encoder:
+        shapecode_enc, texturecode_enc, posecode, uv_direct, wlh_pred = jax.vmap(
+            encode_one)(batch.img_in)
+    else:
+        shapecode_enc = jnp.broadcast_to(mean_shape, (B, latent))
+        texturecode_enc = jnp.broadcast_to(mean_texture, (B, latent))
+        posecode = jnp.zeros((B, latent))
+        uv_direct = jnp.zeros((B, 16))
+        wlh_pred = jnp.zeros((B, 3))
 
     shapecode0 = (shapecode_enc + mean_shape[None]) / 2
     texturecode0 = (texturecode_enc + mean_texture[None]) / 2
@@ -170,18 +193,23 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     obj_diag = jnp.linalg.norm(wlh_use, axis=-1)
 
     # ---- 2) feed-forward pose refinement ------------------------------------
-    def pose_update_fn(pc, uv16):
-        return model.apply(variables, pc[None], uv16[None],
-                           method=type(model).pose_update)[0]
+    if has_refiner:
+        def pose_update_fn(pc, uv16):
+            return model.apply(variables, pc[None], uv16[None],
+                               method=type(model).pose_update)[0]
 
-    def refine_one(pc, pose0, wlh, roi, K, K_inv):
-        return fw_pose_refine(pose_update_fn, pc, pose0, wlh, roi, K, K_inv,
-                              iters=cfg.reg_iters, box_fac=cfg.box_fac)
+        def refine_one(pc, pose0, wlh, roi, K, K_inv):
+            return fw_pose_refine(pose_update_fn, pc, pose0, wlh, roi, K, K_inv,
+                                  iters=cfg.reg_iters, box_fac=cfg.box_fac)
 
-    pose_traj = jax.vmap(refine_one)(
-        posecode, batch.pose_init, wlh_use, batch.roi_refine.astype(jnp.float32),
-        batch.K, batch.K_inv,
-    )  # (B, reg_iters+1, 3, 4)
+        pose_traj = jax.vmap(refine_one)(
+            posecode, batch.pose_init, wlh_use,
+            batch.roi_refine.astype(jnp.float32), batch.K, batch.K_inv,
+        )  # (B, reg_iters+1, 3, 4)
+    else:
+        # no pose stream: the "trajectory" replays the initial pose
+        pose_traj = jnp.broadcast_to(
+            batch.pose_init[:, None], (B, cfg.reg_iters + 1, 3, 4))
 
     # ---- 3) jitted optimization loop (vmapped over objects) -----------------
     tx = _make_optimizer(cfg)
@@ -199,7 +227,10 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
         opt_state0 = tx.init(params0)
 
         def field_fn(p):
-            return lambda xyz, vd: model.apply(variables, xyz, vd, p.shapecode, p.texturecode)
+            def f(xyz, vd):
+                return model.apply(variables, xyz, vd, p.shapecode, p.texturecode)
+
+            return jax.checkpoint(f) if cfg.remat_field else f
 
         def pose_from_params(p):
             R = axis_angle_to_matrix(p.rot_vec)
