@@ -83,6 +83,8 @@ class TTOConfig:
     sym_loss_coef: float = 0.0  # >0 enables the density-symmetry loss (:1435)
     remat_field: bool = True    # rematerialize the field in the backward pass
                                 # (cuts multi-GB activation stashes per iter)
+    emit_code_curves: bool = False  # also return per-iteration codes/poses
+                                    # (vis=2 per-iteration rendering)
 
 
 @struct.dataclass
@@ -352,6 +354,9 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             "trans_err": curves["trans_err"],
             "depth_err": curves["depth_err"],
             "loss": curves["loss"],
+            **({"shapecode_curve": curves["shapecode"],
+                "texturecode_curve": curves["texturecode"],
+                "pose_curve": curves["pose"]} if cfg.emit_code_curves else {}),
         }
 
     results = jax.vmap(optimize_one)(

@@ -99,6 +99,9 @@ class TTODriver:
         self.cfg = cfg if cfg is not None else tto_config_from_hpams(
             hpams, reg_iters=reg_iters, opt_pose=opt_pose,
             dataset_frame=dataset_frame, pred_wlh=pred_wlh)
+        if vis >= 2 and not self.cfg.emit_code_curves:
+            # per-iteration panels need per-iteration codes/poses
+            self.cfg = TTOConfig(**{**self.cfg.__dict__, "emit_code_curves": True})
         os.makedirs(save_dir, exist_ok=True)
 
         self.mesh = make_mesh(n_devices) if n_devices else None
@@ -252,9 +255,19 @@ class TTODriver:
 
         out_dir = os.path.join(self.save_dir, log_idx)
         os.makedirs(out_dir, exist_ok=True)
-        n_code = res["shapecodes_saved"].shape[1]
-        code_iters = list(CODE_SAVE_ITERS)
-        sel = range(n_code) if self.vis >= 2 else [0, n_code - 1]
+        if self.vis >= 2 and "shapecode_curve" in res:
+            # faithful per-iteration panels (reference vis=2)
+            code_iters = list(range(res["shapecode_curve"].shape[1]))
+            codes_sc = res["shapecode_curve"]
+            codes_tc = res["texturecode_curve"]
+            poses = res["pose_curve"]
+            sel = range(len(code_iters))
+        else:
+            code_iters = list(CODE_SAVE_ITERS)
+            codes_sc = res["shapecodes_saved"]
+            codes_tc = res["texturecodes_saved"]
+            poses = res["poses_saved"]
+            sel = range(len(code_iters)) if self.vis >= 2 else [0, len(code_iters) - 1]
         sz = self.vis_im_sz
         roi = np.asarray(inputs["roi_nerf"], np.float32)
         diag = float(np.linalg.norm(inputs["wlh"]))
@@ -264,9 +277,9 @@ class TTODriver:
             (sz, sz, 3), method="linear"))
 
         for ci in sel:
-            sc = jnp.asarray(res["shapecodes_saved"][i, ci])
-            tc = jnp.asarray(res["texturecodes_saved"][i, ci])
-            pose = jnp.asarray(res["poses_saved"][i, ci])
+            sc = jnp.asarray(codes_sc[i, ci])
+            tc = jnp.asarray(codes_tc[i, ci])
+            pose = jnp.asarray(poses[i, ci])
             from supnerf_tpu.geometry.boxes import invert_pose
 
             cam = invert_pose(pose)
