@@ -81,8 +81,11 @@ class TTOConfig:
     obj_sz_reg: bool = False    # box-limit density regularizer (reference :1412)
     loss_obj_sz_coef: float = 1.0
     sym_loss_coef: float = 0.0  # >0 enables the density-symmetry loss (:1435)
-    remat_field: bool = True    # rematerialize the field in the backward pass
-                                # (cuts multi-GB activation stashes per iter)
+    remat_field: bool = False   # rematerialize the field in the backward pass:
+                                # cuts multi-GB activation stashes (needed for
+                                # object batches >32 on a 16 GB chip) but costs
+                                # ~17% throughput at B=16 — opt in when batching
+                                # wider than HBM allows
     emit_code_curves: bool = False  # also return per-iteration codes/poses
                                     # (vis=2 per-iteration rendering)
 
