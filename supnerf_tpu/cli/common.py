@@ -70,10 +70,7 @@ def load_model_and_codes(hpams: dict, model_epoch=None, seed: int = 0):
         )
         from supnerf_tpu.training.train_step import TrainConfig, init_train_state
 
-        state0 = init_train_state(model, jax.random.PRNGKey(seed), n_instances=1,
-                                  cfg=TrainConfig(latent_dim=latent),
-                                  img_size=hpams.get("in_img_sz", 128))
-        # instance count from the stored instoken map
+        # instance count from the stored instoken map (before the single init)
         import json as _json
 
         with open(os.path.join(model_dir, "instoken2idx.json")) as f:

@@ -28,7 +28,9 @@ def build_model(arch: str, net_hyperparams: dict):
             pred_wlh=bool(hp.get("pred_wlh", 0)),
             field_dtype=field_dtype,
         )
-    if arch == "autorf":
+    if arch in ("autorf", "autorfmix"):
+        # the published AutoRF baseline IS the mix variant (AutoRF encoder +
+        # CodeNeRF decoder); config files name it "autorfmix"
         return AutoRFMix(
             shape_blocks=hp.get("shape_blocks", 5),
             texture_blocks=hp.get("texture_blocks", 5),

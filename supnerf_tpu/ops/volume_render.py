@@ -11,7 +11,13 @@ volume_rendering_batch :220; /root/reference/src/renderer.py: volume_rendering3
   w_i      = alpha_i * T_i
   rgb      = sum_i w_i rgb_i  (+ (1 - sum w) for white background)
   depth    = sum_i w_i z_i
-  acc_trans = T_{S}  (transmittance past the last sample)
+  acc_trans = T_{S-1} = prod_{j<S-1} (1 - alpha_j + 1e-10)
+
+acc_trans is the EXCLUSIVE cumprod's last element — it deliberately excludes
+the last sample's factor, exactly as the reference (accum_trans[..., :-1][-1]
+after prepending ones): the last delta is 1e10, so including it would saturate
+acc_trans to ~0 for any positive terminal density and kill the occupancy
+loss's silhouette gradient.
 
 One batched implementation serves all reference variants; the cumulative
 product uses jnp.cumprod (an O(log S) associative scan on TPU). Do NOT rewrite
@@ -34,7 +40,8 @@ def composite_weights(sigmas, z_vals):
 
     sigmas: (..., S); z_vals: (..., S) (broadcastable).
     Returns (weights (..., S), acc_trans (...,)) where acc_trans is the
-    transmittance remaining after the last sample (reference's acc_trans_rays).
+    transmittance BEFORE the last sample (exclusive cumprod's last element,
+    the reference's acc_trans_rays — see module docstring).
     """
     deltas = z_vals[..., 1:] - z_vals[..., :-1]
     deltas = jnp.concatenate(
@@ -49,7 +56,7 @@ def composite_weights(sigmas, z_vals):
         [jnp.ones_like(accum_trans_incl[..., :1]), accum_trans_incl[..., :-1]], axis=-1
     )
     weights = alphas * accum_trans
-    return weights, accum_trans_incl[..., -1]
+    return weights, accum_trans[..., -1]
 
 
 def volume_render(sigmas, rgbs, z_vals, white_bkgd: bool = False):

@@ -119,14 +119,18 @@ class TTOParams:
 
 
 def _make_optimizer(cfg: TTOConfig):
-    def sched(lr):
-        return lambda t: lr * 2.0 ** (-(t // cfg.lr_half_interval))
-
+    # Base learning rates only. The 2^-(t//lr_half_interval) halving is applied
+    # by scaling the UPDATES with the wall iteration t inside the loop: optax's
+    # schedule count would (a) reset to zero when the optimizer state is
+    # re-created at each interval boundary (un-halving the lr) and (b) skip the
+    # replay iterations, both diverging from the reference's nopts-based
+    # schedule. Scaling updates is exact for torch AdamW semantics because the
+    # decoupled weight decay is also multiplied by lr.
     return optax.multi_transform(
         {
-            "shape": optax.adamw(sched(cfg.lr_shape), weight_decay=cfg.weight_decay),
-            "texture": optax.adamw(sched(cfg.lr_texture), weight_decay=cfg.weight_decay),
-            "pose": optax.adamw(sched(cfg.lr_pose), weight_decay=cfg.weight_decay),
+            "shape": optax.adamw(cfg.lr_shape, weight_decay=cfg.weight_decay),
+            "texture": optax.adamw(cfg.lr_texture, weight_decay=cfg.weight_decay),
+            "pose": optax.adamw(cfg.lr_pose, weight_decay=cfg.weight_decay),
         },
         TTOParams(shapecode="shape", texturecode="texture", rot_vec="pose", trans_vec="pose"),
     )
@@ -193,8 +197,13 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     shapecode0 = (shapecode_enc + mean_shape[None]) / 2
     texturecode0 = (texturecode_enc + mean_texture[None]) / 2
 
-    wlh_use = effective_wlh(batch.wlh, wlh_pred if cfg.pred_wlh_mode else None,
-                            cfg.pred_wlh_mode)
+    # predicted wlh only when the model actually has the head (reference gates
+    # on net_hyperparams pred_wlh, optimizer_nuscenes.py:602); otherwise the
+    # zeros fallback would make obj_diag 0 and divide the rays by zero
+    model_predicts_wlh = has_encoder and bool(getattr(model, "pred_wlh", False))
+    wlh_use = effective_wlh(
+        batch.wlh, wlh_pred if (cfg.pred_wlh_mode and model_predicts_wlh) else None,
+        cfg.pred_wlh_mode if model_predicts_wlh else 0)
     obj_diag = jnp.linalg.norm(wlh_use, axis=-1)
 
     # ---- 2) feed-forward pose refinement ------------------------------------
@@ -301,6 +310,9 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
                                       trans_vec=jnp.zeros_like(grads.trans_vec))
 
             updates, new_opt_state = tx.update(grads, opt_state, params)
+            # lr halving by wall iteration (see _make_optimizer)
+            lr_scale = 2.0 ** (-(t // cfg.lr_half_interval)).astype(jnp.float32)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
             new_params = optax.apply_updates(params, updates)
             if not cfg.opt_pose:
                 # pose params are not in the reference optimizer at all in this

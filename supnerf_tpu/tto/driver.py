@@ -152,7 +152,12 @@ class TTODriver:
         if self.add_pose_err == 1:
             yaw_err = np.random.choice([1.0, -1.0]) * self.hpams.get("init_rot_err", 0.3)
             c, s = np.cos(yaw_err), np.sin(yaw_err)
-            rot_err = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            if self.dataset_frame in ("kitti", "waymo"):
+                # KITTI-frame poses yaw about the camera y axis; the conversion
+                # to the nuScenes frame happens later in _prep_one
+                rot_err = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            else:
+                rot_err = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
             t_ratio = 1.0 + np.random.choice([1.0, -1.0]) * self.hpams.get("init_trans_err", 0.1)
             out = gt.copy()
             out[:, :3] = gt[:, :3] @ rot_err
@@ -323,14 +328,36 @@ class TTODriver:
             return lambda xyz, vd: self._pallas_field(xyz, vd, sc, tc)
         return lambda xyz, vd: self.model.apply(self.variables, xyz, vd, sc, tc)
 
-    def _encode_uv(self, img_in):
-        def enc(img):
-            (out), _ = self.model.apply(
-                self.variables, img[None], True, method=type(self.model).encode_img,
-                mutable=["batch_stats"])
-            return out[3][0]
+    def _field_for_v(self, variables, sc, tc):
+        """Field closure over EXPLICIT variables — use inside jitted functions
+        so the params are traced arguments, not multi-GB baked-in constants."""
+        if self._pallas_field is not None:
+            from supnerf_tpu.ops.pallas_field import field_forward_pallas, pack_decoder_params
 
-        return np.asarray(jax.jit(jax.vmap(enc))(jnp.asarray(img_in)))
+            packed = pack_decoder_params(
+                variables["params"]["decoder"],
+                getattr(self.model, "shape_blocks", 3),
+                getattr(self.model, "texture_blocks", 1))
+            return lambda xyz, vd: field_forward_pallas(
+                packed, xyz, vd, sc, tc,
+                shape_blocks=getattr(self.model, "shape_blocks", 3),
+                texture_blocks=getattr(self.model, "texture_blocks", 1),
+                num_xyz_freq=getattr(self.model, "num_xyz_freq", 10),
+                num_dir_freq=getattr(self.model, "num_dir_freq", 4))
+        return lambda xyz, vd: self.model.apply(variables, xyz, vd, sc, tc)
+
+    def _encode_uv(self, img_in):
+        if not hasattr(self, "_encode_uv_jit"):
+            def enc(v, img):
+                out, _ = self.model.apply(
+                    v, img[None], True, method=type(self.model).encode_img,
+                    mutable=["batch_stats"])
+                return out[3][0]
+
+            # built once: a fresh closure per call would miss jit's cache and
+            # recompile every batch
+            self._encode_uv_jit = jax.jit(jax.vmap(enc, in_axes=(None, 0)))
+        return np.asarray(self._encode_uv_jit(self.variables, jnp.asarray(img_in)))
 
     # ------------------------------------------------------------------ save
     def results_dict(self):
@@ -411,28 +438,37 @@ class TTODriver:
         psnr_mat_per_ins = {}
         depth_mat_per_ins = {}
 
-        def render_metrics(sc, tc, inputs):
-            diag = float(np.linalg.norm(inputs["wlh"]))
-            cam = invert_pose(jnp.asarray(inputs["obj_pose_gt"]))
-            field = self._field_for(jnp.asarray(sc), jnp.asarray(tc))
+        def render_metrics_fn(variables, sc, tc, obj_pose_gt, K, roi_nerf, wlh,
+                              rgb_tgt, occ_tgt, lid_u, lid_v, lid_d, lid_m):
+            diag = jnp.linalg.norm(wlh)
+            cam = invert_pose(obj_pose_gt)
+            field = self._field_for_v(variables, sc, tc)
             out = render_rays_frustum(
-                field, jax.random.PRNGKey(0), cam, jnp.asarray(inputs["K"]),
-                jnp.asarray(inputs["roi_nerf"], jnp.float32), diag,
+                field, jax.random.PRNGKey(0), cam, K, roi_nerf, diag,
                 n_samples=self.cfg.n_samples, im_sz=self.cfg.render_im_sz,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood,
                 kitti2nusc=self.cfg.kitti2nusc)
-            psnr = float(masked_psnr(out["rgb"], jnp.asarray(inputs["rgb_tgt"]),
-                                     jnp.asarray(inputs["occ_tgt"])))
+            psnr = masked_psnr(out["rgb"], rgb_tgt, occ_tgt)
             outd = render_rays_at_pixels(
-                field, jax.random.PRNGKey(0), cam, jnp.asarray(inputs["K"]),
-                jnp.asarray(inputs["lidar_u"]), jnp.asarray(inputs["lidar_v"]), diag,
+                field, jax.random.PRNGKey(0), cam, K, lid_u, lid_v, diag,
                 n_samples=self.cfg.n_samples,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood,
                 kitti2nusc=self.cfg.kitti2nusc)
-            m = inputs["lidar_valid"]
-            derr = float(np.sum(np.abs(np.asarray(outd["depth"]) - inputs["lidar_depth"]) * m)
-                         / (m.sum() + 1e-8))
+            derr = jnp.sum(jnp.abs(outd["depth"] - lid_d) * lid_m) / (jnp.sum(lid_m) + 1e-8)
             return psnr, derr
+
+        render_metrics_jit = jax.jit(render_metrics_fn)
+
+        def render_metrics(sc, tc, inputs):
+            psnr, derr = render_metrics_jit(
+                self.variables, jnp.asarray(sc), jnp.asarray(tc),
+                jnp.asarray(inputs["obj_pose_gt"]), jnp.asarray(inputs["K"]),
+                jnp.asarray(inputs["roi_nerf"], jnp.float32),
+                jnp.asarray(inputs["wlh"]), jnp.asarray(inputs["rgb_tgt"]),
+                jnp.asarray(inputs["occ_tgt"]), jnp.asarray(inputs["lidar_u"]),
+                jnp.asarray(inputs["lidar_v"]), jnp.asarray(inputs["lidar_depth"]),
+                jnp.asarray(inputs["lidar_valid"]))
+            return float(psnr), float(derr)
 
         for ins, idx_list in by_ins.items():
             views = []
@@ -445,6 +481,8 @@ class TTODriver:
             if len(views) < 1:
                 continue
             n_v = len(views)
+            # host prep runs ONCE per view, not per (code-iter x row) pair
+            prepped = {idx: self._prep_one(idx)[0] for idx, _, _ in views}
             psnr_mats, depth_mats = [], []
             for ci in range(n_code):
                 pm = np.zeros((n_v, n_v))
@@ -453,8 +491,7 @@ class TTODriver:
                     sc = self.optimized_shapecodes[ann_r][cam_r][ci]
                     tc = self.optimized_texturecodes[ann_r][cam_r][ci]
                     for c, (idx_c, _, _) in enumerate(views):
-                        inputs, _ = self._prep_one(idx_c)
-                        pm[r, c], dm[r, c] = render_metrics(sc, tc, inputs)
+                        pm[r, c], dm[r, c] = render_metrics(sc, tc, prepped[idx_c])
                 psnr_mats.append(pm)
                 depth_mats.append(dm)
             psnr_mat_per_ins[ins] = psnr_mats

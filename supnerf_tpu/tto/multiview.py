@@ -66,13 +66,12 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
     trans0 = batch.pose_init[:, :, 3]
     params0 = {"shape": sc0, "texture": tc0, "rot": rot0, "trans": trans0}
 
-    def sched(lr):
-        return lambda t: lr * 2.0 ** (-(t // cfg.lr_half_interval))
-
+    # base lrs; halving is applied to the updates by wall iteration (see
+    # tto.core._make_optimizer for why optax schedule counts are unsuitable)
     tx = optax.multi_transform(
-        {"shape": optax.adamw(sched(cfg.lr_shape), weight_decay=cfg.weight_decay),
-         "texture": optax.adamw(sched(cfg.lr_texture), weight_decay=cfg.weight_decay),
-         "pose": optax.adamw(sched(cfg.lr_pose), weight_decay=cfg.weight_decay)},
+        {"shape": optax.adamw(cfg.lr_shape, weight_decay=cfg.weight_decay),
+         "texture": optax.adamw(cfg.lr_texture, weight_decay=cfg.weight_decay),
+         "pose": optax.adamw(cfg.lr_pose, weight_decay=cfg.weight_decay)},
         {"shape": "shape", "texture": "texture", "rot": "pose", "trans": "pose"},
     )
     opt_state0 = tx.init(params0)
@@ -107,6 +106,8 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
             grads = dict(grads, rot=jnp.zeros_like(grads["rot"]),
                          trans=jnp.zeros_like(grads["trans"]))
         updates, s2 = tx.update(grads, s, p)
+        lr_scale = 2.0 ** (-(t // cfg.lr_half_interval)).astype(jnp.float32)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         p2 = optax.apply_updates(p, updates)
         if not opt_pose:
             p2 = dict(p2, rot=p["rot"], trans=p["trans"])

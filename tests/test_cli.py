@@ -44,8 +44,8 @@ def test_all_shipped_configs_load():
         assert hp["arch"] in ("supnerf", "autorfmix")
         from supnerf_tpu.models import build_model
 
-        arch = "autorf" if hp["arch"] == "autorfmix" else hp["arch"]
-        model = build_model(arch, hp["net_hyperparams"])
+        # configs must load through build_model EXACTLY as shipped
+        model = build_model(hp["arch"], hp["net_hyperparams"])
         assert model is not None
 
 

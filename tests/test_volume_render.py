@@ -58,6 +58,21 @@ def test_batched_leading_dims(rng):
         np.testing.assert_allclose(np.asarray(rgb[b]), rgb_r, atol=2e-5)
 
 
+def test_acc_trans_excludes_saturated_last_sample(rng):
+    """Regression: acc_trans must be the EXCLUSIVE cumprod's last element.
+    With positive density at the farthest sample, the inclusive form saturates
+    to ~0 through the 1e10 last delta and kills the occupancy gradient."""
+    R, S = 4, 16
+    sigmas = np.zeros((R, S), np.float32)
+    sigmas[:, -1] = 0.5  # density ONLY at the last sample
+    z = np.broadcast_to(np.linspace(5, 15, S, dtype=np.float32), (R, S))
+    _, _, acc = vr.volume_render(jnp.asarray(sigmas), jnp.zeros((R, S, 3)), jnp.asarray(z))
+    # exclusive: the last sample's (saturated) alpha is not included
+    np.testing.assert_allclose(np.asarray(acc), 1.0, atol=1e-5)
+    rgb_r, depth_r, acc_r = _ref_volume_render(sigmas, np.zeros((R, S, 3)), z)
+    np.testing.assert_allclose(np.asarray(acc), acc_r, atol=1e-6)
+
+
 def test_weights_properties(rng):
     R, S = 10, 64
     sigmas = rng.uniform(0, 10, size=(R, S)).astype(np.float32)
