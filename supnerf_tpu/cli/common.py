@@ -28,7 +28,16 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices for the data-parallel mesh")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host coordinator address (host:port) for DCN "
+                        "runs; also honored from JAX_COORDINATOR_ADDRESS")
     return p
+
+
+def maybe_multihost(args):
+    from supnerf_tpu.parallel.mesh import maybe_init_distributed
+
+    return maybe_init_distributed(getattr(args, "coordinator", None))
 
 
 def add_optimize_args(p: argparse.ArgumentParser):

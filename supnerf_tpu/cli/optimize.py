@@ -29,6 +29,9 @@ def main(argv=None):
     add_optimize_args(p)
     args = p.parse_args(argv)
 
+    from supnerf_tpu.cli.common import maybe_multihost
+
+    maybe_multihost(args)
     hpams = resolve_hpams(args)
     ds_name = args.dataset or hpams.get("dataset", {}).get("name", "synthetic")
     frame = {"kitti": "kitti", "waymo": "waymo"}.get(ds_name, "nusc")

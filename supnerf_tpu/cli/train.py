@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--check_iter", type=int, default=1000)
     args = p.parse_args(argv)
 
+    from supnerf_tpu.cli.common import maybe_multihost
+
+    maybe_multihost(args)
     hpams = resolve_hpams(args)
     if args.render_sz:
         hpams["render_sz"] = args.render_sz

@@ -19,6 +19,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "dp"
 
 
+def maybe_init_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Initialize multi-host (DCN) JAX when requested via args or the standard
+    env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    Single-host runs skip this entirely. Returns True if initialized."""
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coordinator:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first n_devices devices."""
     if devices is None:
