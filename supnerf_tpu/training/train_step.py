@@ -168,7 +168,10 @@ def pose_regress_step(model, variables, posecode, src_pose, tgt_uv, wlh, roi, K)
     pred_pose = jnp.concatenate([pred_R, pred_T[:, :, None]], axis=-1)
 
     pred_uv = view_points(corners_of_box(pred_pose, wlh), K, normalize=True)
-    loss = jnp.sqrt(jnp.sum((pred_uv[:, :2, :] - tgt_uv) ** 2, axis=-2))
+    # eps inside the sqrt: its gradient is infinite at exactly-matching corners
+    # (d sqrt(x)/dx -> inf as x -> 0), which NaNs training once predictions get
+    # good; 1e-8 bounds the grad at 1e4 with a <1e-4-pixel loss offset
+    loss = jnp.sqrt(jnp.sum((pred_uv[:, :2, :] - tgt_uv) ** 2, axis=-2) + 1e-8)
     return loss, pred_pose
 
 
@@ -198,7 +201,7 @@ def unified_loss(model, params, batch_stats, codes, batch: TrainBatch,
     cx = (batch.roi[:, 0] + batch.roi[:, 2]) / 2
     cy = (batch.roi[:, 1] + batch.roi[:, 3]) / 2
     uv_img = uv_img + jnp.stack([cx, cy], axis=-1)[:, :, None]
-    loss_uv = jnp.sqrt(jnp.sum((uv_img - batch.tgt_uv) ** 2, axis=-2))
+    loss_uv = jnp.sqrt(jnp.sum((uv_img - batch.tgt_uv) ** 2, axis=-2) + 1e-8)
     losses["loss_pose_direct"] = jnp.mean(loss_uv)
     loss_total += jnp.where(enc_active, cfg.loss_pose_coef * losses["loss_pose_direct"], 0.0)
 
