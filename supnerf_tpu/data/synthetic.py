@@ -55,7 +55,9 @@ def make_synthetic_object(seed: int = 0, img_h: int = 900, img_w: int = 1600,
     x1, y1 = np.ceil(uv.max(axis=1)).astype(int)
     box_2d = [max(x0, 0), max(y0, 0), min(x1, img_w - 1), min(y1, img_h - 1)]
 
-    # silhouette: convex hull of projected corners rasterized with cv2
+    # rasterize the box with per-face shading (painter's order): faces carry
+    # distinct brightness so orientation is visually recoverable — a flat
+    # silhouette would make yaw unlearnable for the pose stream
     import cv2
 
     mask = np.zeros((img_h, img_w), np.uint8)
@@ -64,9 +66,22 @@ def make_synthetic_object(seed: int = 0, img_h: int = 900, img_w: int = 1600,
     mask_occ = np.where(mask > 0, 1.0, -1.0).astype(np.float32)
 
     if color is None:
-        color = rng.uniform(0.2, 0.9, 3).astype(np.float32)
+        color = rng.uniform(0.3, 0.9, 3).astype(np.float32)
     img = np.ones((img_h, img_w, 3), np.float32)
-    img[mask > 0] = color
+    # corner order: first four face forward (+x), last four backward
+    faces = [
+        ((0, 1, 2, 3), 1.00),   # front: brightest
+        ((4, 5, 6, 7), 0.35),   # rear: darkest
+        ((0, 3, 7, 4), 0.75),   # left side
+        ((1, 2, 6, 5), 0.55),   # right side
+        ((0, 1, 5, 4), 0.90),   # top
+        ((2, 3, 7, 6), 0.45),   # bottom
+    ]
+    depth_per_face = [(np.mean(corners[2, list(ids)]), ids, shade)
+                      for ids, shade in faces]
+    for _, ids, shade in sorted(depth_per_face, reverse=True):
+        poly = uv[:, list(ids)].T.astype(np.int32)
+        cv2.fillConvexPoly(img, poly, (color * shade).astype(float).tolist())
 
     # lidar fixture: pixels inside the mask with depth of the box center plane
     ys, xs = np.nonzero(mask)
