@@ -42,6 +42,15 @@ def maybe_multihost(args):
 
 def add_optimize_args(p: argparse.ArgumentParser):
     p.add_argument("--model_epoch", type=int, default=None)
+    p.add_argument("--init_rot_err", type=float, default=0.0,
+                   help="initial rotation error in radians (add_pose_err=1)")
+    p.add_argument("--init_trans_err", type=float, default=0.2,
+                   help="initial translation error ratio (add_pose_err=1)")
+    p.add_argument("--rand_angle_lim", type=float, default=0.0,
+                   help="pitch/roll limit for random init (0 at test; pi/9 train)")
+    p.add_argument("--seg_source", type=str, default="instance")
+    p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--nusc-version", dest="nusc_version", type=str, default=None)
     p.add_argument("--add_pose_err", type=int, default=2, choices=[0, 1, 2, 3])
     p.add_argument("--reg_iters", type=int, default=3)
     p.add_argument("--opt_pose", type=int, default=1, choices=[0, 1, 2])
@@ -127,7 +136,9 @@ def build_dataset(hpams: dict, args, split: str = "val"):
 
         ds = NuScenesData(hpams, split=split,
                           add_pose_err=getattr(args, "add_pose_err", 0),
-                          pred_box2d=bool(getattr(args, "pred_box2d", 0)))
+                          pred_box2d=bool(getattr(args, "pred_box2d", 0)),
+                          nusc_version=getattr(args, "nusc_version", None),
+                          rand_angle_lim=getattr(args, "rand_angle_lim", 0.0))
     elif name == "kitti":
         from supnerf_tpu.data.kitti import KittiData
 

@@ -53,6 +53,8 @@ def main(argv=None):
         pred_wlh=args.pred_wlh, add_pose_err=args.add_pose_err,
         batch_size=args.batch_size, save_freq=args.save_freq,
         n_devices=args.devices, seed=args.seed, vis=args.vis,
+        init_rot_err=args.init_rot_err, init_trans_err=args.init_trans_err,
+        rand_angle_lim=args.rand_angle_lim,
     )
     if args.cross_eval_folder:
         # evaluation-only resume from a previous optimization folder

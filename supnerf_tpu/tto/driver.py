@@ -80,7 +80,8 @@ class TTODriver:
                  add_pose_err: int = 2, batch_size: int = 16,
                  save_freq: int = 100, n_devices: int | None = None,
                  seed: int = 0, vis: int = 0, vis_im_sz: int = 128,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, init_rot_err: float = 0.0,
+                 init_trans_err: float = 0.2, rand_angle_lim: float = 0.0):
         self.model = model
         self.variables = variables
         self.mean_shape = jnp.asarray(mean_shape)
@@ -95,6 +96,11 @@ class TTODriver:
         self.save_freq = save_freq
         self.vis = vis
         self.vis_im_sz = vis_im_sz
+        # pose-error injection parameters (reference optimize CLI defaults:
+        # init_rot_err 0.0, init_trans_err 0.2, rand_angle_lim 0 at test time)
+        self.init_rot_err = init_rot_err
+        self.init_trans_err = init_trans_err
+        self.rand_angle_lim = rand_angle_lim
         self.key = jax.random.PRNGKey(seed)
         self.cfg = cfg if cfg is not None else tto_config_from_hpams(
             hpams, reg_iters=reg_iters, opt_pose=opt_pose,
@@ -150,7 +156,7 @@ class TTODriver:
         if self.add_pose_err == 0:
             return gt
         if self.add_pose_err == 1:
-            yaw_err = np.random.choice([1.0, -1.0]) * self.hpams.get("init_rot_err", 0.3)
+            yaw_err = np.random.choice([1.0, -1.0]) * self.init_rot_err
             c, s = np.cos(yaw_err), np.sin(yaw_err)
             if self.dataset_frame in ("kitti", "waymo"):
                 # KITTI-frame poses yaw about the camera y axis; the conversion
@@ -158,7 +164,7 @@ class TTODriver:
                 rot_err = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
             else:
                 rot_err = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-            t_ratio = 1.0 + np.random.choice([1.0, -1.0]) * self.hpams.get("init_trans_err", 0.1)
+            t_ratio = 1.0 + np.random.choice([1.0, -1.0]) * self.init_trans_err
             out = gt.copy()
             out[:, :3] = gt[:, :3] @ rot_err
             out[:, 3] = gt[:, 3] * t_ratio
@@ -170,7 +176,8 @@ class TTODriver:
         return np.asarray(pose_gen.get_random_pose2(
             k, jnp.asarray(sample["cam_intrinsics"]),
             jnp.asarray(np.asarray(sample["rois"], np.float32)),
-            trans_lim=0.3, is_kitti=self.dataset_frame in ("kitti", "waymo"),
+            angle_lim=self.rand_angle_lim, trans_lim=0.3,
+            is_kitti=self.dataset_frame in ("kitti", "waymo"),
         ))
 
     def _prep_one(self, idx):
@@ -362,6 +369,8 @@ class TTODriver:
     # ------------------------------------------------------------------ save
     def results_dict(self):
         return {
+            "num_obj": len(self.psnr_eval),
+            "ssim_eval": getattr(self, "ssim_eval", {}),
             "optimized_shapecodes": self.optimized_shapecodes,
             "optimized_texturecodes": self.optimized_texturecodes,
             "optimized_poses": self.optimized_poses,
