@@ -140,11 +140,16 @@ def main(argv=None):
     def field_fn(xyz, vd, s_code, t_code):
         return model.apply(variables, xyz, vd, s_code, t_code)
 
+    # adjust_scale=0.5: the compositor samples points in obj_diag/2 units but
+    # the field was optimized through the frustum renderer's obj_diag
+    # normalization (the reference demo exposes the same knob for the same
+    # scale mismatch, scripts/demo.py:542-543 "temporal code due to conflict
+    # of training scale")
     render = jax.jit(lambda op, key: render_scene_window(
         field_fn, key, op, wlhs, shapecodes, texturecodes, K_scaled,
         window_scaled, (win_w, win_h), n_samples=hpams["n_samples"],
         shapenet_obj_cood=bool(hpams.get("shapenet_obj_cood", 1)),
-        adjust_scale=1.0, chunk=1024))
+        adjust_scale=0.5, chunk=1024))
 
     print("Novel-view rendering frame by frame ...")
     gif_path = os.path.join(args.save_dir, "scene.gif")
