@@ -208,10 +208,21 @@ class TTODriver:
                     or start + self.batch_size >= n:
                 self.save_results()
         self.save_results()
+        if hasattr(self, "timer"):
+            print("phase timing:\n" + self.timer.report())
         return self.results_dict()
 
     def optimize_object_batch(self, idxs):
+        import time
+
+        from supnerf_tpu.utils.profiling import PhaseTimer
+
+        if not hasattr(self, "timer"):
+            self.timer = PhaseTimer()
+        t0 = time.perf_counter()
         prepped, samples = zip(*[self._prep_one(i) for i in idxs])
+        self.timer.totals["host_prep"] += time.perf_counter() - t0
+        self.timer.counts["host_prep"] += 1
         B = len(prepped)
         pad = 0
         rows = list(prepped)
@@ -233,7 +244,10 @@ class TTODriver:
         if self.mesh is not None:
             batch = shard_pytree_batch(batch, self.mesh)
         self.key, k = jax.random.split(self.key)
+        t0 = time.perf_counter()
         res = jax.tree.map(np.asarray, self._tto_jit(self.variables, batch, k))
+        self.timer.totals["device_tto"] += time.perf_counter() - t0
+        self.timer.counts["device_tto"] += 1
 
         for i, (sample, idx) in enumerate(zip(samples, idxs)):
             log_idx, ann, cam = self._log_idx(sample, idx)
