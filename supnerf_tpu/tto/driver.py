@@ -138,6 +138,7 @@ class TTODriver:
         self.optimized_texturecodes = {}
         self.optimized_poses = {}
         self.psnr_eval = {}
+        self.ssim_eval = {}
         self.R_eval = {}
         self.T_eval = {}
         self.depth_err_mean = {}
@@ -324,6 +325,13 @@ class TTODriver:
                                      sz)
             gt_vis = render_box(gt_vis, np.stack([u2, v2]),
                                 colors=((1, 144 / 255, 30 / 255),) * 3, linewidth=1)
+            if ci == len(code_iters) - 1:
+                # final-iteration SSIM between render and target (reference
+                # log_compute_ssim, optimizer_nuscenes.py:1657-1666)
+                from supnerf_tpu.eval.metrics import ssim as compute_ssim
+
+                self.ssim_eval.setdefault(log_idx, []).append(
+                    compute_ssim(np.asarray(rgb), gt_small))
             t = code_iters[ci]
             panel = panel_rgb_depth_gt(
                 np.asarray(rgb), np.asarray(depth), gt_vis,
