@@ -31,7 +31,20 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--coordinator", type=str, default=None,
                    help="multi-host coordinator address (host:port) for DCN "
                         "runs; also honored from JAX_COORDINATOR_ADDRESS")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace into this dir")
     return p
+
+
+def maybe_profile(args):
+    """Context manager: jax profiler trace when --profile_dir is set."""
+    import contextlib
+
+    if getattr(args, "profile_dir", None):
+        from supnerf_tpu.utils.profiling import trace
+
+        return trace(args.profile_dir)
+    return contextlib.nullcontext()
 
 
 def maybe_multihost(args):

@@ -66,10 +66,16 @@ def main(argv=None):
         driver.optimized_texturecodes = saved["optimized_texturecodes"]
         driver.optimized_poses = saved["optimized_poses"]
     elif args.opt_multiview:
-        driver.run_multiview(opt_pose=args.opt_pose > 0)
+        from supnerf_tpu.cli.common import maybe_profile
+
+        with maybe_profile(args):
+            driver.run_multiview(opt_pose=args.opt_pose > 0)
         return
     else:
-        driver.run()
+        from supnerf_tpu.cli.common import maybe_profile
+
+        with maybe_profile(args):
+            driver.run()
     cross = driver.eval_cross_view() if ds_name in ("nusc", "synthetic") else None
 
     # aggregate + plots (reference optimize_nuscenes.py:145-155)

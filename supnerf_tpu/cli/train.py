@@ -66,7 +66,10 @@ def main(argv=None):
     )
     if args.resume_from_epoch is not None:
         trainer.resume_from_epoch(args.resume_dir or save_dir, args.resume_from_epoch)
-    trainer.train(args.epochs)
+    from supnerf_tpu.cli.common import maybe_profile
+
+    with maybe_profile(args):
+        trainer.train(args.epochs)
     print(f"training done; checkpoints in {save_dir}")
 
 
