@@ -45,8 +45,14 @@ class MultiviewBatch:
 
 
 def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
-                      mean_texture, cfg: TTOConfig, key, opt_pose: bool = False):
+                      mean_texture, cfg: TTOConfig, key, opt_pose: bool = False,
+                      opt_model: bool = False, slack_tex: bool = False):
     """Optimize shared codes (and optionally per-view poses) for one instance.
+
+    opt_model: additionally fine-tune the decoder parameters at lr 1e-3
+    (reference optimize_objs_multi_anns opt_model, optimizer_nuscenes.py:869).
+    slack_tex: per-view texture residual codes added to the shared texture
+    code (reference slack_tex :874-880).
     Returns codes at CODE_SAVE_ITERS, per-iter mean PSNR, final per-view poses.
     """
     V = batch.img_in.shape[0]
@@ -65,15 +71,26 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
     rot0 = jax.vmap(lambda p: matrix_to_axis_angle(p[:, :3]))(batch.pose_init)
     trans0 = batch.pose_init[:, :, 3]
     params0 = {"shape": sc0, "texture": tc0, "rot": rot0, "trans": trans0}
+    if slack_tex:
+        params0["tex_res"] = jnp.zeros((V,) + tc0.shape)
+    if opt_model:
+        params0["decoder"] = variables["params"]["decoder"]
 
     # base lrs; halving is applied to the updates by wall iteration (see
     # tto.core._make_optimizer for why optax schedule counts are unsuitable)
+    labels = {"shape": "shape", "texture": "texture", "rot": "pose", "trans": "pose"}
+    txs = {"shape": optax.adamw(cfg.lr_shape, weight_decay=cfg.weight_decay),
+           "texture": optax.adamw(cfg.lr_texture, weight_decay=cfg.weight_decay),
+           "pose": optax.adamw(cfg.lr_pose, weight_decay=cfg.weight_decay)}
+    if slack_tex:
+        labels["tex_res"] = "texture"
+    if opt_model:
+        labels["decoder"] = "model"
+        txs["model"] = optax.adamw(1e-3, weight_decay=cfg.weight_decay)
     tx = optax.multi_transform(
-        {"shape": optax.adamw(cfg.lr_shape, weight_decay=cfg.weight_decay),
-         "texture": optax.adamw(cfg.lr_texture, weight_decay=cfg.weight_decay),
-         "pose": optax.adamw(cfg.lr_pose, weight_decay=cfg.weight_decay)},
-        {"shape": "shape", "texture": "texture", "rot": "pose", "trans": "pose"},
-    )
+        txs, lambda params: {k: labels[k] if not isinstance(v, dict) or k != "decoder"
+                             else jax.tree.map(lambda _: "model", v)
+                             for k, v in params.items()})
     opt_state0 = tx.init(params0)
     obj_diag = jnp.linalg.norm(batch.wlh, axis=-1)
 
@@ -81,8 +98,14 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
         pose = jnp.concatenate(
             [axis_angle_to_matrix(p["rot"][v]), p["trans"][v][:, None]], axis=-1)
         cam = invert_pose(pose)
+        tex = p["texture"] + p["tex_res"][v] if slack_tex else p["texture"]
+        if opt_model:
+            field_vars = {"params": dict(variables["params"], decoder=p["decoder"]),
+                          "batch_stats": variables.get("batch_stats", {})}
+        else:
+            field_vars = variables
         out = render_rays_frustum(
-            lambda xyz, vd: model.apply(variables, xyz, vd, p["shape"], p["texture"]),
+            lambda xyz, vd: model.apply(field_vars, xyz, vd, p["shape"], tex),
             it_key, cam, batch.K[v], batch.roi_nerf[v].astype(jnp.float32),
             obj_diag[v], n_samples=cfg.n_samples, im_sz=cfg.render_im_sz,
             shapenet_obj_cood=cfg.shapenet_obj_cood, kitti2nusc=cfg.kitti2nusc)
