@@ -113,6 +113,19 @@ def load_model_and_codes(hpams: dict, model_epoch=None, seed: int = 0):
                                          model_epoch)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         mean_shape, mean_texture = mean_codes_from_state(state)
+    elif model_dir and (
+        os.path.exists(os.path.join(model_dir, "models.pth"))
+        or (model_epoch is not None
+            and os.path.exists(os.path.join(model_dir, f"epoch_{model_epoch}.pth")))
+    ):
+        # reference-framework checkpoint layout: load the torch weights
+        from supnerf_tpu.models.torch_import import load_reference_checkpoint
+
+        name = (f"epoch_{model_epoch}.pth" if model_epoch is not None
+                else "models.pth")
+        variables, mean_shape, mean_texture = load_reference_checkpoint(
+            model, os.path.join(model_dir, name))
+        print(f"loaded reference torch checkpoint {name} from {model_dir}")
     else:
         variables = init_model_variables(model, jax.random.PRNGKey(seed),
                                          img_size=hpams.get("in_img_sz", 128))

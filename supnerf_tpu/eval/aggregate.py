@@ -17,7 +17,27 @@ import numpy as np
 PRINT_ITERS = (0, 3, 5, 10, 20, 50, 99)
 
 
+def _torch_to_numpy(obj):
+    import torch
+
+    if isinstance(obj, torch.Tensor):
+        return obj.detach().cpu().numpy()
+    if isinstance(obj, dict):
+        return {k: _torch_to_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        seq = [_torch_to_numpy(v) for v in obj]
+        return type(obj)(seq) if isinstance(obj, tuple) else seq
+    return obj
+
+
 def load_result_file(path: str) -> dict:
+    """Load a result dict: this framework's pickles, or the reference's torch
+    .pth files (the reference repo distributes saved predictions — they can be
+    re-scored here directly)."""
+    if path.endswith(".pth"):
+        import torch
+
+        return _torch_to_numpy(torch.load(path, map_location="cpu"))
     with open(path, "rb") as f:
         return pickle.load(f)
 
