@@ -36,7 +36,6 @@ from flax import struct
 from supnerf_tpu.geometry.boxes import corners_of_box, normalize_by_roi, view_points
 from supnerf_tpu.geometry.rotations import axis_angle_to_matrix, matrix_to_axis_angle
 from supnerf_tpu.ops.volume_render import (
-    masked_psnr,
     occupancy_loss,
     rgb_loss_masked,
     volume_render,

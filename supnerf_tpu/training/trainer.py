@@ -211,7 +211,6 @@ class UnifiedTrainer:
             return
         try:
             s = self.dataset[idx]
-            from supnerf_tpu.geometry.boxes import invert_pose
             from supnerf_tpu.geometry.roi import crop_and_whiten, resize_bilinear_np, roi_process
             from supnerf_tpu.render.renderer import render_full_image
 
