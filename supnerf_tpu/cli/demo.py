@@ -93,9 +93,19 @@ def main(argv=None):
         def __getitem__(self, i):
             return self.items[i]
 
+    from supnerf_tpu.tto.core import TTOConfig
+    from supnerf_tpu.tto.driver import tto_config_from_hpams
+
+    # the reference demo optimizes with AABB-bounded sampling (rend_aabb=True,
+    # scripts/demo.py:616); adjust_scale maps the diag/2-unit samples onto the
+    # frustum-trained field's diag-unit coordinates
+    cfg = tto_config_from_hpams(hpams, reg_iters=3, opt_pose=1,
+                                pred_wlh=hpams["net_hyperparams"].get("pred_wlh", 0))
+    cfg = TTOConfig(**{**cfg.__dict__, "use_aabb_render": True,
+                       "adjust_scale": 0.5})
     driver = TTODriver(
         model, variables, mean_shape, mean_texture, hpams, _ListDS(objects),
-        args.save_dir, opt_pose=1, reg_iters=3, add_pose_err=2,
+        args.save_dir, cfg=cfg, opt_pose=1, reg_iters=3, add_pose_err=2,
         batch_size=len(objects), n_devices=args.devices, seed=args.seed,
     )
     driver.run()

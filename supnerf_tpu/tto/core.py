@@ -88,6 +88,10 @@ class TTOConfig:
                                 # wider than HBM allows
     emit_code_curves: bool = False  # also return per-iteration codes/poses
                                     # (vis=2 per-iteration rendering)
+    use_aabb_render: bool = False   # AABB-bounded sampling instead of the
+                                    # frustum shell (reference render_rays_v3,
+                                    # the demo's rend_aabb=True path)
+    adjust_scale: float = 1.0       # field coordinate scale for AABB renders
 
 
 @struct.dataclass
@@ -158,6 +162,8 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
       refiner trajectory. All leaves have leading dim B.
     """
     B = batch.img_in.shape[0]
+    if cfg.use_aabb_render and cfg.sym_loss_coef > 0:
+        raise ValueError("sym_loss requires the frustum renderer (sample reuse)")
 
     # ---- 1) encoder (per-object BN batch stats via vmap over batch-of-one) --
     # SUPNeRF encoders return (shape, texture, pose, uv, wlh); AutoRF-style
@@ -259,13 +265,24 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
                 # random lateral flip of the sampled points (reference
                 # render_rays_v2 sym_aug, utils.py:474-477)
                 sym_flip = jax.random.bernoulli(jax.random.fold_in(it_key, 3))
-            out = render_rays_frustum(
-                field_fn(p), it_key, cam, K, roi_nerf, diag,
-                n_samples=cfg.n_samples, im_sz=cfg.render_im_sz,
-                shapenet_obj_cood=cfg.shapenet_obj_cood,
-                kitti2nusc=cfg.kitti2nusc, sym_flip=sym_flip,
-                return_samples=need_samples,
-            )
+            if cfg.use_aabb_render:
+                from supnerf_tpu.render.renderer import render_rays_aabb
+
+                out = render_rays_aabb(
+                    field_fn(p), it_key, cam, K, roi_nerf, wlh_obj,
+                    n_samples=cfg.n_samples, im_sz=cfg.render_im_sz,
+                    shapenet_obj_cood=cfg.shapenet_obj_cood,
+                    kitti2nusc=cfg.kitti2nusc, sym_flip=sym_flip,
+                    adjust_scale=cfg.adjust_scale,
+                )
+            else:
+                out = render_rays_frustum(
+                    field_fn(p), it_key, cam, K, roi_nerf, diag,
+                    n_samples=cfg.n_samples, im_sz=cfg.render_im_sz,
+                    shapenet_obj_cood=cfg.shapenet_obj_cood,
+                    kitti2nusc=cfg.kitti2nusc, sym_flip=sym_flip,
+                    return_samples=need_samples,
+                )
             loss_rgb = rgb_loss_masked(out["rgb"], rgb_tgt, occ_tgt)
             loss_occ = occupancy_loss(out["acc_trans"], occ_tgt)
             loss = loss_rgb + cfg.loss_occ_coef * loss_occ
