@@ -105,3 +105,14 @@ def test_codes_only_mode_keeps_pose_fixed():
     # but codes did change
     assert not np.allclose(np.asarray(res["shapecodes_saved"])[0, 0],
                            np.asarray(res["final_shapecode"])[0])
+
+
+def test_aabb_render_mode():
+    """The reference demo's rend_aabb path: AABB-bounded sampling in the TTO loop."""
+    model, variables, batch = _tiny_setup(1)
+    cfg = TTOConfig(**{**TINY_CFG.__dict__, "use_aabb_render": True,
+                       "adjust_scale": 0.5})
+    res = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                        cfg, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(res["loss"])).all()
+    assert np.isfinite(np.asarray(res["psnr"])).all()
