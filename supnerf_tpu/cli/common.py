@@ -55,10 +55,12 @@ def maybe_multihost(args):
 
 def add_optimize_args(p: argparse.ArgumentParser):
     p.add_argument("--model_epoch", type=int, default=None)
-    p.add_argument("--init_rot_err", type=float, default=0.0,
-                   help="initial rotation error in radians (add_pose_err=1)")
-    p.add_argument("--init_trans_err", type=float, default=0.2,
-                   help="initial translation error ratio (add_pose_err=1)")
+    p.add_argument("--init_rot_err", type=float, default=None,
+                   help="initial rotation error in radians (add_pose_err=1); "
+                        "default 0.0 (nuScenes) / 0.4 (KITTI, Waymo wrappers)")
+    p.add_argument("--init_trans_err", type=float, default=None,
+                   help="initial translation error ratio (add_pose_err=1); "
+                        "default 0.2 (nuScenes) / 0.01 (KITTI, Waymo wrappers)")
     p.add_argument("--rand_angle_lim", type=float, default=0.0,
                    help="pitch/roll limit for random init (0 at test; pi/9 train)")
     p.add_argument("--seg_source", type=str, default="instance")
@@ -121,8 +123,9 @@ def load_model_and_codes(hpams: dict, model_epoch=None, seed: int = 0):
         # reference-framework checkpoint layout: load the torch weights
         from supnerf_tpu.models.torch_import import load_reference_checkpoint
 
-        name = (f"epoch_{model_epoch}.pth" if model_epoch is not None
-                else "models.pth")
+        name = f"epoch_{model_epoch}.pth"
+        if model_epoch is None or not os.path.exists(os.path.join(model_dir, name)):
+            name = "models.pth"
         variables, mean_shape, mean_texture = load_reference_checkpoint(
             model, os.path.join(model_dir, name))
         print(f"loaded reference torch checkpoint {name} from {model_dir}")
@@ -160,11 +163,15 @@ def build_dataset(hpams: dict, args, split: str = "val"):
     elif name == "nusc":
         from supnerf_tpu.data.nuscenes import NuScenesData
 
+        seg_source = getattr(args, "seg_source", "instance")
+        dir_key = "train_data_dir" if split == "train" else "test_data_dir"
+        data_dir = hpams["dataset"].get(dir_key, "data/NuScenes")
         ds = NuScenesData(hpams, split=split,
                           add_pose_err=getattr(args, "add_pose_err", 0),
                           pred_box2d=bool(getattr(args, "pred_box2d", 0)),
                           nusc_version=getattr(args, "nusc_version", None),
-                          rand_angle_lim=getattr(args, "rand_angle_lim", 0.0))
+                          rand_angle_lim=getattr(args, "rand_angle_lim", 0.0),
+                          seg_dir=os.path.join(data_dir, f"pred_{seg_source}"))
     elif name == "kitti":
         from supnerf_tpu.data.kitti import KittiData
 

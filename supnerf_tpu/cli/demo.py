@@ -65,9 +65,10 @@ def main(argv=None):
     model, variables, mean_shape, mean_texture = load_model_and_codes(hpams, seed=args.seed)
 
     if args.dataset == "synthetic":
+        ds_cfg = hpams.get("dataset", {})
         img, objects = synthetic_scene(args.n_objects,
-                                       hpams["dataset"].get("img_h", 900),
-                                       hpams["dataset"].get("img_w", 1600))
+                                       ds_cfg.get("img_h", 900),
+                                       ds_cfg.get("img_w", 1600))
     else:
         from supnerf_tpu.data.nuscenes import NuScenesData
 
@@ -101,8 +102,9 @@ def main(argv=None):
     # frustum-trained field's diag-unit coordinates
     cfg = tto_config_from_hpams(hpams, reg_iters=3, opt_pose=1,
                                 pred_wlh=hpams["net_hyperparams"].get("pred_wlh", 0))
-    cfg = TTOConfig(**{**cfg.__dict__, "use_aabb_render": True,
-                       "adjust_scale": 0.5})
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, use_aabb_render=True, adjust_scale=0.5)
     driver = TTODriver(
         model, variables, mean_shape, mean_texture, hpams, _ListDS(objects),
         args.save_dir, cfg=cfg, opt_pose=1, reg_iters=3, add_pose_err=2,

@@ -37,7 +37,10 @@ def load_result_file(path: str) -> dict:
     if path.endswith(".pth"):
         import torch
 
-        return _torch_to_numpy(torch.load(path, map_location="cpu"))
+        # weights_only=False: reference result files contain numpy scalars
+        # (np.log/np.sum outputs), which torch>=2.6's default loader rejects
+        return _torch_to_numpy(torch.load(path, map_location="cpu",
+                                          weights_only=False))
     with open(path, "rb") as f:
         return pickle.load(f)
 

@@ -164,7 +164,7 @@ def load_reference_checkpoint(model, pth_path: str):
     from supnerf_tpu.models.codenerf import CodeNeRF
     from supnerf_tpu.models.supnerf import SUPNeRF
 
-    saved = torch.load(pth_path, map_location="cpu")
+    saved = torch.load(pth_path, map_location="cpu", weights_only=False)
     sd = {k: v.numpy() for k, v in saved["model_params"].items()}
     if isinstance(model, SUPNeRF):
         variables = import_supnerf_state_dict(model, sd)

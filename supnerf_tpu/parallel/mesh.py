@@ -30,10 +30,17 @@ def maybe_init_distributed(coordinator: str | None = None,
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coordinator:
         return False
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    # None passes through so jax auto-detects the cluster topology from the
+    # launch environment; defaulting to (1, 0) would make every host claim
+    # process 0 of a single-process cluster
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     return True
 

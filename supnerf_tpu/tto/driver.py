@@ -80,8 +80,9 @@ class TTODriver:
                  add_pose_err: int = 2, batch_size: int = 16,
                  save_freq: int = 100, n_devices: int | None = None,
                  seed: int = 0, vis: int = 0, vis_im_sz: int = 128,
-                 use_pallas: bool = False, init_rot_err: float = 0.0,
-                 init_trans_err: float = 0.2, rand_angle_lim: float = 0.0):
+                 use_pallas: bool = False, init_rot_err: float | None = None,
+                 init_trans_err: float | None = None,
+                 rand_angle_lim: float = 0.0):
         self.model = model
         self.variables = variables
         self.mean_shape = jnp.asarray(mean_shape)
@@ -96,10 +97,13 @@ class TTODriver:
         self.save_freq = save_freq
         self.vis = vis
         self.vis_im_sz = vis_im_sz
-        # pose-error injection parameters (reference optimize CLI defaults:
-        # init_rot_err 0.0, init_trans_err 0.2, rand_angle_lim 0 at test time)
-        self.init_rot_err = init_rot_err
-        self.init_trans_err = init_trans_err
+        # pose-error injection parameters; None falls back to the config then
+        # the reference nuScenes CLI defaults (init_rot_err 0.0,
+        # init_trans_err 0.2; KITTI/Waymo wrappers pass 0.4 / 0.01)
+        self.init_rot_err = (init_rot_err if init_rot_err is not None
+                             else hpams.get("init_rot_err", 0.0))
+        self.init_trans_err = (init_trans_err if init_trans_err is not None
+                               else hpams.get("init_trans_err", 0.2))
         self.rand_angle_lim = rand_angle_lim
         self.key = jax.random.PRNGKey(seed)
         self.cfg = cfg if cfg is not None else tto_config_from_hpams(
@@ -107,7 +111,9 @@ class TTODriver:
             dataset_frame=dataset_frame, pred_wlh=pred_wlh)
         if vis >= 2 and not self.cfg.emit_code_curves:
             # per-iteration panels need per-iteration codes/poses
-            self.cfg = TTOConfig(**{**self.cfg.__dict__, "emit_code_curves": True})
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, emit_code_curves=True)
         os.makedirs(save_dir, exist_ok=True)
 
         self.mesh = make_mesh(n_devices) if n_devices else None
@@ -214,16 +220,12 @@ class TTODriver:
         return self.results_dict()
 
     def optimize_object_batch(self, idxs):
-        import time
-
         from supnerf_tpu.utils.profiling import PhaseTimer
 
         if not hasattr(self, "timer"):
             self.timer = PhaseTimer()
-        t0 = time.perf_counter()
-        prepped, samples = zip(*[self._prep_one(i) for i in idxs])
-        self.timer.totals["host_prep"] += time.perf_counter() - t0
-        self.timer.counts["host_prep"] += 1
+        with self.timer.phase("host_prep"):
+            prepped, samples = zip(*[self._prep_one(i) for i in idxs])
         B = len(prepped)
         pad = 0
         rows = list(prepped)
@@ -245,10 +247,8 @@ class TTODriver:
         if self.mesh is not None:
             batch = shard_pytree_batch(batch, self.mesh)
         self.key, k = jax.random.split(self.key)
-        t0 = time.perf_counter()
-        res = jax.tree.map(np.asarray, self._tto_jit(self.variables, batch, k))
-        self.timer.totals["device_tto"] += time.perf_counter() - t0
-        self.timer.counts["device_tto"] += 1
+        with self.timer.phase("device_tto"):
+            res = jax.tree.map(np.asarray, self._tto_jit(self.variables, batch, k))
 
         for i, (sample, idx) in enumerate(zip(samples, idxs)):
             log_idx, ann, cam = self._log_idx(sample, idx)
@@ -325,13 +325,7 @@ class TTODriver:
                                      sz)
             gt_vis = render_box(gt_vis, np.stack([u2, v2]),
                                 colors=((1, 144 / 255, 30 / 255),) * 3, linewidth=1)
-            if ci == len(code_iters) - 1:
-                # final-iteration SSIM between render and target (reference
-                # log_compute_ssim, optimizer_nuscenes.py:1657-1666)
-                from supnerf_tpu.eval.metrics import ssim as compute_ssim
 
-                self.ssim_eval.setdefault(log_idx, []).append(
-                    compute_ssim(np.asarray(rgb), gt_small))
             t = code_iters[ci]
             panel = panel_rgb_depth_gt(
                 np.asarray(rgb), np.asarray(depth), gt_vis,
@@ -345,6 +339,20 @@ class TTODriver:
             sc = jnp.asarray(res["final_shapecode"][i])
             tc = jnp.asarray(res["final_texturecode"][i])
             field = self._field_for(sc, tc)
+            # final-codes SSIM between render and target (reference
+            # log_compute_ssim, optimizer_nuscenes.py:1657-1666); only
+            # computed when visualization renders exist, like the reference
+            from supnerf_tpu.geometry.boxes import invert_pose as _inv
+            from supnerf_tpu.eval.metrics import ssim as compute_ssim
+
+            rgb_f, _, _ = render_full_image(
+                field, _inv(jnp.asarray(res["final_pose"][i])),
+                jnp.asarray(inputs["K"]), (jnp.asarray(roi), sz, sz), diag,
+                n_samples=self.cfg.n_samples,
+                shapenet_obj_cood=self.cfg.shapenet_obj_cood,
+                kitti2nusc=self.cfg.kitti2nusc, chunk=4096)
+            self.ssim_eval.setdefault(log_idx, []).append(
+                compute_ssim(np.asarray(rgb_f), gt_small))
             views = render_virtual_views(
                 field, diag, np.asarray(inputs["K"]), n_samples=self.cfg.n_samples,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood, pan_num=8,
@@ -408,11 +416,19 @@ class TTODriver:
         with open(os.path.join(self.save_dir, name), "wb") as f:
             pickle.dump(self.results_dict(), f)
 
-    def run_multiview(self, v_max: int = 4, opt_pose: bool = False):
+    def run_multiview(self, v_max: int = 4, opt_pose: bool = False,
+                      opt_model: bool = False, slack_tex: bool | None = None):
         """Joint multiview optimization per instance (reference
         optimize_objs_multi_anns[_w_pose] — shared codes across all views of an
-        instance). Views are padded to v_max for one compiled program."""
+        instance). Views are padded to v_max for one compiled program.
+
+        slack_tex defaults to the reference dispatch: True for the codes-only
+        mode (optimizer_nuscenes.py:135 runs optimize_objs_multi_anns with
+        slack_tex=True), False when poses are optimized."""
         from supnerf_tpu.tto.multiview import MultiviewBatch, run_multiview_tto
+
+        if slack_tex is None:
+            slack_tex = not opt_pose
 
         by_ins = {}
         for idx in range(len(self.dataset)):
@@ -421,7 +437,8 @@ class TTODriver:
 
         mv_jit = jax.jit(lambda b, k: run_multiview_tto(
             self.model, self.variables, b, self.mean_shape, self.mean_texture,
-            self.cfg, k, opt_pose=opt_pose))
+            self.cfg, k, opt_pose=opt_pose, opt_model=opt_model,
+            slack_tex=slack_tex))
 
         for ins, idx_list in by_ins.items():
             idx_list = idx_list[:v_max]

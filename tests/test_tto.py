@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -95,7 +97,7 @@ def test_replay_semantics():
 
 def test_codes_only_mode_keeps_pose_fixed():
     model, variables, batch = _tiny_setup(1)
-    cfg = TTOConfig(**{**TINY_CFG.__dict__, "opt_pose": False})
+    cfg = dataclasses.replace(TINY_CFG, opt_pose=False)
     res = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
                         cfg, jax.random.PRNGKey(0))
     # pose after optimization equals the refined pose (no pose updates)
@@ -110,8 +112,7 @@ def test_codes_only_mode_keeps_pose_fixed():
 def test_aabb_render_mode():
     """The reference demo's rend_aabb path: AABB-bounded sampling in the TTO loop."""
     model, variables, batch = _tiny_setup(1)
-    cfg = TTOConfig(**{**TINY_CFG.__dict__, "use_aabb_render": True,
-                       "adjust_scale": 0.5})
+    cfg = dataclasses.replace(TINY_CFG, use_aabb_render=True, adjust_scale=0.5)
     res = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
                         cfg, jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(res["loss"])).all()
