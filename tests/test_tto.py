@@ -117,3 +117,30 @@ def test_aabb_render_mode():
                         cfg, jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(res["loss"])).all()
     assert np.isfinite(np.asarray(res["psnr"])).all()
+
+
+def test_train_test_refiner_composition_parity():
+    """The training pose_regress_step and the test-time fw_pose_one_step must
+    apply EXACTLY the same delta composition, or train/test behavior diverges."""
+    from supnerf_tpu.training.train_step import pose_regress_step
+    from supnerf_tpu.tto.refiner import fw_pose_one_step
+
+    model = build_model("supnerf", TINY_HP)
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+    K = jnp.asarray([[800.0, 0, 640], [0, 800, 360], [0, 0, 1]])
+    roi = jnp.asarray([500.0, 200.0, 700.0, 400.0])
+    wlh = jnp.asarray([1.9, 4.6, 1.7])
+    pose0 = pose_gen.get_random_pose2(jax.random.PRNGKey(3), K, roi)
+    pc = jax.random.normal(jax.random.PRNGKey(5), (32,)) * 0.3
+
+    def pose_update_fn(pcode, uv16):
+        return model.apply(variables, pcode[None], uv16[None],
+                           method=type(model).pose_update)[0]
+
+    pose_tto = fw_pose_one_step(pose_update_fn, pc, pose0, wlh, roi, K,
+                                jnp.linalg.inv(K))
+    _, pose_train = pose_regress_step(model, variables, pc[None], pose0[None],
+                                      jnp.zeros((1, 2, 8)), wlh[None],
+                                      roi[None], K[None])
+    np.testing.assert_allclose(np.asarray(pose_tto), np.asarray(pose_train[0]),
+                               atol=1e-5)
