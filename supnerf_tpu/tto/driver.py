@@ -106,6 +106,9 @@ class TTODriver:
                                else hpams.get("init_trans_err", 0.2))
         self.rand_angle_lim = rand_angle_lim
         self.key = jax.random.PRNGKey(seed)
+        # host-side generator for mode-1 error injection (sign choices);
+        # seeded so the controlled-error protocol is reproducible
+        self.np_rng = np.random.default_rng(seed)
         self.cfg = cfg if cfg is not None else tto_config_from_hpams(
             hpams, reg_iters=reg_iters, opt_pose=opt_pose,
             dataset_frame=dataset_frame, pred_wlh=pred_wlh)
@@ -149,6 +152,7 @@ class TTODriver:
         self.T_eval = {}
         self.depth_err_mean = {}
         self.lidar_pts_cnt = {}
+        self.ood_flags = {}
 
     # ------------------------------------------------------------------ prep
     def _log_idx(self, sample, idx):
@@ -163,7 +167,7 @@ class TTODriver:
         if self.add_pose_err == 0:
             return gt
         if self.add_pose_err == 1:
-            yaw_err = np.random.choice([1.0, -1.0]) * self.init_rot_err
+            yaw_err = self.np_rng.choice([1.0, -1.0]) * self.init_rot_err
             c, s = np.cos(yaw_err), np.sin(yaw_err)
             if self.dataset_frame in ("kitti", "waymo"):
                 # KITTI-frame poses yaw about the camera y axis; the conversion
@@ -171,7 +175,7 @@ class TTODriver:
                 rot_err = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
             else:
                 rot_err = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-            t_ratio = 1.0 + np.random.choice([1.0, -1.0]) * self.init_trans_err
+            t_ratio = 1.0 + self.np_rng.choice([1.0, -1.0]) * self.init_trans_err
             out = gt.copy()
             out[:, :3] = gt[:, :3] @ rot_err
             out[:, 3] = gt[:, 3] * t_ratio
@@ -250,6 +254,13 @@ class TTODriver:
         with self.timer.phase("device_tto"):
             res = jax.tree.map(np.asarray, self._tto_jit(self.variables, batch, k))
 
+        # OOD pose sanity check (reference optimizer_nuscenes.py:656-660): the
+        # feed-forward-refined pose's up axis (rotation z column) deviating
+        # more than 45 deg from camera-up [0, -1, 0] is flagged.
+        refined = res["pose_traj"][:, -1]           # (B, 3, 4) post-refiner
+        up_cos = np.clip(-refined[:, 1, 2], -1.0, 1.0)
+        ood = np.abs(np.arccos(up_cos)) > np.pi / 4
+
         for i, (sample, idx) in enumerate(zip(samples, idxs)):
             log_idx, ann, cam = self._log_idx(sample, idx)
             self.optimized_shapecodes.setdefault(ann, {})[cam] = res["shapecodes_saved"][i]
@@ -260,6 +271,9 @@ class TTODriver:
             self.T_eval[log_idx] = res["trans_err"][i].tolist()
             self.depth_err_mean[log_idx] = res["depth_err"][i].tolist()
             self.lidar_pts_cnt[log_idx] = int(np.asarray(prepped[i]["lidar_valid"]).sum())
+            self.ood_flags[log_idx] = bool(ood[i])
+            if ood[i]:
+                print("Found out-of-distribution pose")
             print(f"  {log_idx}: psnr {res['psnr'][i, 0]:.2f} -> {res['psnr'][i, -1]:.2f}, "
                   f"RE {res['rot_err'][i, 0]:.3f} -> {res['rot_err'][i, -1]:.3f}, "
                   f"TE {res['trans_err'][i, 0]:.3f} -> {res['trans_err'][i, -1]:.3f}, "
@@ -409,6 +423,8 @@ class TTODriver:
             "T_eval": self.T_eval,
             "depth_err_mean": self.depth_err_mean,
             "lidar_pts_cnt": self.lidar_pts_cnt,
+            "ood_flags": self.ood_flags,
+            "num_ood": int(sum(self.ood_flags.values())),
             "CODE_SAVE_ITERS_": list(CODE_SAVE_ITERS),
         }
 

@@ -121,3 +121,28 @@ def test_pnp_bootstrap_recovers_pose():
 
     err = R.from_matrix(out[:, :3] @ np.asarray(pose)[:, :3].T).magnitude()
     assert err < 0.1
+
+
+def test_mode1_pose_error_seeded(tmp_path):
+    """add_pose_err=1 must be reproducible given the driver seed (the
+    reference uses global np.random; we thread a seeded Generator)."""
+    ds = SynthDataset(4)
+    d1 = _driver(tmp_path / "a", ds, add_pose_err=1, seed=3)
+    d2 = _driver(tmp_path / "b", ds, add_pose_err=1, seed=3)
+    p1 = np.stack([d1._initial_pose(ds[i]) for i in range(4)])
+    p2 = np.stack([d2._initial_pose(ds[i]) for i in range(4)])
+    np.testing.assert_array_equal(p1, p2)
+    # the injected translation error actually perturbs the pose
+    gt = np.stack([np.asarray(ds[i]["obj_poses"]) for i in range(4)])
+    assert np.abs(p1[:, :, 3] - gt[:, :, 3]).max() > 1e-3
+
+
+def test_ood_flags_recorded(tmp_path):
+    """Refined poses with up-axis >45 deg off camera-up are flagged
+    (reference optimizer_nuscenes.py:656-660)."""
+    ds = SynthDataset(2)
+    drv = _driver(tmp_path, ds)
+    res = drv.run()
+    assert set(res["ood_flags"].keys()) == set(res["psnr_eval"].keys())
+    assert all(isinstance(v, bool) for v in res["ood_flags"].values())
+    assert res["num_ood"] == sum(res["ood_flags"].values())
