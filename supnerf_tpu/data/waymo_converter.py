@@ -39,6 +39,65 @@ def _cart_to_homo(mat):
     return out
 
 
+# Waymo front camera frame is (x front, y left, z up); the KITTI reference
+# camera frame is (x right, y down, z front). T_FRONT_CAM_TO_REF maps the
+# former to the latter (reference data/Waymo/converter.py:205-214).
+T_FRONT_CAM_TO_REF = np.array(
+    [[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+
+
+def front_calib_matrices(extrinsic: np.ndarray, intrinsic) -> tuple:
+    """KITTI calib entries for the waymo front camera (pure math; reference
+    converter.py:166-266).
+
+    extrinsic: (4, 4) T_front_cam_to_vehicle from the camera calibration proto.
+    intrinsic: sequence whose first four entries are (f_u, f_v, c_u, c_v).
+
+    Returns (P2 (3, 4), R0_rect (3, 3), Tr_velo_to_cam (3, 4)) with
+      P2 = [[f_u, 0, c_u, 0], [0, f_v, c_v, 0], [0, 0, 1, 0]]   (intrinsics
+        only — the waymo-axes offset cancels against the virtual reference
+        frame, reference converter.py:189-200),
+      R0_rect = identity (waymo has no rectified frame), and
+      Tr_velo_to_cam = T_front_cam_to_ref @ inv(T_front_cam_to_vehicle)
+        (lidar points live in the vehicle frame, converter.py:263).
+    """
+    extrinsic = np.asarray(extrinsic, np.float64).reshape(4, 4)
+    f_u, f_v, c_u, c_v = [float(v) for v in intrinsic[:4]]
+    P2 = np.array([[f_u, 0, c_u, 0], [0, f_v, c_v, 0], [0, 0, 1, 0]], np.float64)
+    Tr = _cart_to_homo(T_FRONT_CAM_TO_REF) @ np.linalg.inv(extrinsic)
+    return P2, np.eye(3), Tr[:3, :]
+
+
+def label_box_to_kitti(center_vehicle, height: float, heading: float,
+                       Tr_velo_to_cam: np.ndarray) -> tuple:
+    """Waymo 3D box (vehicle frame, volumetric center) -> KITTI label fields
+    (pure math; reference converter.py:425-451).
+
+    Returns (center_cam (3,), rotation_y, alpha): bottom-centered box center
+    in the KITTI camera frame, yaw about the camera y axis
+    (-heading - pi/2, wrapped to [-pi, pi)), and the observation angle
+    alpha = rotation_y - atan2(x, z). The reference leaves rotation_y
+    unwrapped and writes alpha = -10 ("contribution is welcome",
+    converter.py:465-468); the wrap is equivalent mod 2*pi and the computed
+    alpha follows the KITTI devkit definition.
+    """
+    cx, cy, cz = [float(v) for v in center_vehicle]
+    bottom = np.array([cx, cy, cz - height / 2.0, 1.0])
+    center_cam = np.asarray(Tr_velo_to_cam, np.float64) @ bottom
+    rotation_y = -float(heading) - np.pi / 2
+    rotation_y = (rotation_y + np.pi) % (2 * np.pi) - np.pi
+    alpha = rotation_y - np.arctan2(center_cam[0], center_cam[2])
+    return center_cam[:3], rotation_y, alpha
+
+
+def projected_box2d(center_x: float, center_y: float, length: float,
+                    width: float) -> tuple:
+    """Waymo projected 2D box (center + size) -> KITTI corner format
+    (reference converter.py:361-363)."""
+    return (center_x - length / 2, center_y - width / 2,
+            center_x + length / 2, center_y + width / 2)
+
+
 class WaymoToKITTI:
     """Convert a directory of Waymo .tfrecord segments to KITTI-format files."""
 
@@ -92,24 +151,17 @@ class WaymoToKITTI:
                 os.path.join(self.save_dir, "image", stem + ".png"))
 
     def save_calib(self, frame, stem: str):
-        """Front-camera calibration in KITTI convention: the waymo camera frame
-        (x front, y left, z up) is rotated to KITTI cam (x right, y down,
-        z front) and composed with the extrinsics (reference converter.py:166)."""
-        T_cam_to_kitti = np.array(
-            [[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
-        calib_lines = []
-        Tr_velo_to_cam = None
-        P2 = None
+        """Front-camera calibration in KITTI convention (math in
+        front_calib_matrices; reference converter.py:166-266)."""
+        P2 = Tr_velo_to_cam = None
         for camera in frame.context.camera_calibrations:
             if camera.name != _T_FRONT_CAM:
                 continue
             extrinsic = np.array(camera.extrinsic.transform).reshape(4, 4)
-            T_vehicle_to_cam = np.linalg.inv(extrinsic)
-            Tr = _cart_to_homo(T_cam_to_kitti) @ T_vehicle_to_cam
-            Tr_velo_to_cam = Tr[:3, :]
-            f_u, f_v, c_u, c_v = camera.intrinsic[:4]
-            P2 = np.array(
-                [[f_u, 0, c_u, 0], [0, f_v, c_v, 0], [0, 0, 1, 0]], np.float64)
+            P2, _, Tr_velo_to_cam = front_calib_matrices(
+                extrinsic, list(camera.intrinsic))
+            self._Tr_velo_to_cam = Tr_velo_to_cam
+        calib_lines = []
         for pname in ["P0", "P1", "P2", "P3"]:
             calib_lines.append(
                 f"{pname}: " + " ".join(f"{v:e}" for v in P2.reshape(-1)))
@@ -155,10 +207,12 @@ class WaymoToKITTI:
                 obj_id = label.id.replace("_FRONT", "")
                 proj_boxes[obj_id] = label.box
 
-        calib_file = os.path.join(self.save_dir, "calib", stem + ".txt")
-        from supnerf_tpu.data.kitti_format import Calibration
+        Tr = getattr(self, "_Tr_velo_to_cam", None)
+        if Tr is None:
+            from supnerf_tpu.data.kitti_format import Calibration
 
-        calib = Calibration(calib_file)
+            Tr = Calibration(
+                os.path.join(self.save_dir, "calib", stem + ".txt")).V2C
         lines = []
         for label in frame.laser_labels:
             if label.id not in proj_boxes:
@@ -166,24 +220,17 @@ class WaymoToKITTI:
             if label.type not in type_map:
                 continue
             box2d = proj_boxes[label.id]
-            x0 = box2d.center_x - box2d.length / 2
-            y0 = box2d.center_y - box2d.width / 2
-            x1 = box2d.center_x + box2d.length / 2
-            y1 = box2d.center_y + box2d.width / 2
+            x0, y0, x1, y1 = projected_box2d(
+                box2d.center_x, box2d.center_y, box2d.length, box2d.width)
             b = label.box
-            # vehicle frame center -> cam rect frame, bottom-centered
-            center = np.array([[b.center_x, b.center_y, b.center_z - b.height / 2]])
-            hom = np.concatenate([center, np.ones((1, 1))], axis=1)
-            center_cam = (calib.V2C @ hom.T).T[0]
-            heading = -b.heading - np.pi / 2
-            heading = (heading + np.pi) % (2 * np.pi) - np.pi
-            alpha = heading - np.arctan2(center_cam[0], center_cam[2])
+            center_cam, rotation_y, alpha = label_box_to_kitti(
+                (b.center_x, b.center_y, b.center_z), b.height, b.heading, Tr)
             lines.append(
                 f"{type_map[label.type]} 0.00 0 {alpha:.2f} "
                 f"{x0:.2f} {y0:.2f} {x1:.2f} {y1:.2f} "
                 f"{b.height:.2f} {b.width:.2f} {b.length:.2f} "
                 f"{center_cam[0]:.2f} {center_cam[1]:.2f} {center_cam[2]:.2f} "
-                f"{heading:.2f}")
+                f"{rotation_y:.2f}")
         with open(os.path.join(self.save_dir, "label", stem + ".txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
 
