@@ -1,0 +1,233 @@
+"""Parity tests against the reference implementation's OWN code as oracle.
+
+The reference checkout (read-only, /root/reference) is used three ways:
+  - src/model_codenerf.py imports cleanly (plain torch) and is instantiated
+    directly; its random-init state_dict is imported into the JAX decoder and
+    sigma/rgb outputs are compared.
+  - volume_rendering3 (src/renderer.py:355-379) is extracted by AST from the
+    reference source at test time (the module itself needs torchvision, which
+    is absent) and run under torch as the compositing oracle.
+  - fw_pose_one_step's delta composition (src/optimizer_nuscenes.py:509-551)
+    is replicated in torch+scipy (pytorch3d is absent) as the refiner oracle.
+
+These tests are skipped when the reference checkout is not present, so the
+repo remains standalone.
+"""
+import ast
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/src"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available")
+
+
+def _load_reference_module(name):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{name}", os.path.join(REF, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _extract_reference_function(filename, funcname, namespace):
+    """AST-extract a single top-level function from a reference source file
+    and exec it in `namespace` (for modules whose imports are unavailable)."""
+    src = open(os.path.join(REF, filename)).read()
+    tree = ast.parse(src)
+    node = next(n for n in tree.body
+                if isinstance(n, ast.FunctionDef) and n.name == funcname)
+    code = ast.get_source_segment(src, node)
+    exec(compile(code, f"{filename}:{funcname}", "exec"), namespace)
+    return namespace[funcname]
+
+
+# --------------------------------------------------------------- CodeNeRF ---
+@pytest.mark.parametrize("shape_blocks,texture_blocks", [(3, 1), (2, 2)])
+def test_codenerf_decoder_vs_reference_torch_module(shape_blocks, texture_blocks):
+    """Identical weights -> identical sigma/rgb between the reference torch
+    CodeNeRF (model_codenerf.py:13,39-63) and the JAX decoder."""
+    from supnerf_tpu.models.nerf_mlp import CodeNeRFDecoder
+    from supnerf_tpu.models.torch_import import import_decoder
+
+    ref_mod = _load_reference_module("model_codenerf")
+    W, latent = 64, 48
+    torch.manual_seed(0)
+    ref = ref_mod.CodeNeRF(shape_blocks=shape_blocks,
+                           texture_blocks=texture_blocks, W=W,
+                           num_xyz_freq=10, num_dir_freq=4, latent_dim=latent)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_decoder(sd, shape_blocks, texture_blocks)
+    model = CodeNeRFDecoder(shape_blocks=shape_blocks,
+                            texture_blocks=texture_blocks, W=W,
+                            latent_dim=latent)
+
+    rng = np.random.default_rng(1)
+    B, R, S = 2, 5, 4
+    xyz = rng.normal(size=(B * R, S, 3)).astype(np.float32) * 0.4
+    vd = rng.normal(size=(B * R, S, 3)).astype(np.float32)
+    sc = rng.normal(size=(B, latent)).astype(np.float32) * 0.3
+    tc = rng.normal(size=(B, latent)).astype(np.float32) * 0.3
+
+    with torch.no_grad():
+        sig_t, rgb_t = ref(torch.from_numpy(xyz), torch.from_numpy(vd),
+                           torch.from_numpy(sc), torch.from_numpy(tc))
+    sig_t, rgb_t = sig_t.numpy(), rgb_t.numpy()
+
+    # the JAX decoder takes one code pair; compare per object
+    for b in range(B):
+        sl = slice(b * R, (b + 1) * R)
+        sig_j, rgb_j = model.apply(
+            {"params": params}, jnp.asarray(xyz[sl]), jnp.asarray(vd[sl]),
+            jnp.asarray(sc[b]), jnp.asarray(tc[b]))
+        np.testing.assert_allclose(np.asarray(sig_j), sig_t[sl], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rgb_j), rgb_t[sl], atol=1e-5)
+
+
+def test_codenerf_positional_encoding_vs_reference():
+    """PE layout parity: the reference concatenates all frequencies' sin then
+    cos (model_codenerf.py:4-10), not interleaved."""
+    from supnerf_tpu.models.nerf_mlp import positional_encoding
+
+    ref_mod = _load_reference_module("model_codenerf")
+    x = np.linspace(-1.5, 1.5, 12).reshape(4, 3).astype(np.float32)
+    ref = ref_mod.PE(torch.from_numpy(x), 10).numpy()
+    ours = np.asarray(positional_encoding(jnp.asarray(x), 10))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+# ------------------------------------------------------- volume rendering ---
+@pytest.mark.parametrize("white_bkgd", [False, True])
+def test_volume_rendering3_vs_reference(white_bkgd):
+    """Compositing parity vs the reference volume_rendering3
+    (renderer.py:355-379), extracted from the reference source and run in
+    torch. Checks rgb, depth, and the final accumulated transmittance."""
+    from supnerf_tpu.ops.volume_render import volume_render
+
+    vr3 = _extract_reference_function("renderer.py", "volume_rendering3",
+                                      {"torch": torch})
+    rng = np.random.default_rng(2)
+    N, S = 64, 16
+    sigmas = (rng.normal(size=(N, S, 1)).astype(np.float32) * 2).clip(-3, None)
+    rgbs = rng.uniform(0, 1, size=(N, S, 3)).astype(np.float32)
+    z_vals = np.sort(rng.uniform(8, 25, size=(N, S)).astype(np.float32), axis=-1)
+
+    rgb_t, depth_t, acc_t = vr3(torch.from_numpy(sigmas),
+                                torch.from_numpy(rgbs),
+                                torch.from_numpy(z_vals),
+                                white_bkgd=white_bkgd)
+    rgb_j, depth_j, acc_j = volume_render(jnp.asarray(sigmas),
+                                          jnp.asarray(rgbs),
+                                          jnp.asarray(z_vals),
+                                          white_bkgd=white_bkgd)
+    np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_j), depth_t.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(acc_j), acc_t.numpy(), atol=1e-5)
+
+
+# ------------------------------------------------------ pose composition ----
+def _torch_compose_pose_delta(src_pose, delta, dim, K, K_inv):
+    """Reference fw_pose_one_step delta composition
+    (optimizer_nuscenes.py:530-551) in torch+scipy: axis-angle increment
+    (delta[:3]*2pi), uv shift (delta[3:5]*dim), depth ratio (delta[5]+1),
+    translation re-lifted through K^-1."""
+    from scipy.spatial.transform import Rotation
+
+    delta = delta.clone()
+    delta[:, :3] *= 2 * np.pi
+    delta[:, 3:5] *= dim.unsqueeze(-1)
+    delta[:, 5] += 1
+
+    rot_vec_src = torch.from_numpy(
+        Rotation.from_matrix(src_pose[:, :, :3].numpy()).as_rotvec()
+    ).to(torch.float32)
+    pred_rot_vec = rot_vec_src + delta[:, :3]
+    pred_R = torch.from_numpy(
+        Rotation.from_rotvec(pred_rot_vec.numpy()).as_matrix()
+    ).to(torch.float32)
+
+    T_src = src_pose[:, :, 3:]
+    src_pose_uv = torch.matmul(K, T_src)
+    pred_u = src_pose_uv[:, 0] / src_pose_uv[:, 2] + delta[:, 3:4]
+    pred_v = src_pose_uv[:, 1] / src_pose_uv[:, 2] + delta[:, 4:5]
+    pred_Z = src_pose[:, 2, 3:] * delta[:, 5:]
+    pred_T = torch.cat([pred_u * pred_Z, pred_v * pred_Z, pred_Z], dim=1).unsqueeze(-1)
+    pred_T = torch.matmul(K_inv, pred_T)
+    return torch.cat([pred_R, pred_T], dim=2)
+
+
+def test_pose_delta_composition_vs_torch_oracle():
+    from scipy.spatial.transform import Rotation
+
+    from supnerf_tpu.tto.refiner import compose_pose_delta
+
+    rng = np.random.default_rng(3)
+    B = 8
+    rotvecs = rng.normal(size=(B, 3)) * 0.8
+    Rm = Rotation.from_rotvec(rotvecs).as_matrix().astype(np.float32)
+    T = np.stack([rng.uniform(-5, 5, B), rng.uniform(-2, 2, B),
+                  rng.uniform(10, 40, B)], axis=-1).astype(np.float32)
+    src = np.concatenate([Rm, T[:, :, None]], axis=2)
+    delta = (rng.normal(size=(B, 6)) * 0.05).astype(np.float32)
+    dim = rng.uniform(80, 300, size=(B,)).astype(np.float32)
+    K = np.broadcast_to(np.array(
+        [[800.0, 0, 640], [0, 800, 360], [0, 0, 1]], np.float32), (B, 3, 3)).copy()
+    K_inv = np.linalg.inv(K)
+
+    expect = _torch_compose_pose_delta(
+        torch.from_numpy(src.copy()), torch.from_numpy(delta.copy()),
+        torch.from_numpy(dim), torch.from_numpy(K), torch.from_numpy(K_inv)
+    ).numpy()
+
+    got = np.asarray(jax.vmap(compose_pose_delta)(
+        jnp.asarray(src), jnp.asarray(delta), jnp.asarray(dim),
+        jnp.asarray(K), jnp.asarray(K_inv)))
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_refiner_normalization_vs_reference_chain():
+    """project_box_corners_normalized must match the reference's
+    corners_of_box_batch -> view_points_batch -> normalize_by_roi chain
+    (fw_pose_one_step :518-521) re-derived with plain numpy."""
+    from scipy.spatial.transform import Rotation
+
+    from supnerf_tpu.tto.refiner import project_box_corners_normalized
+
+    rng = np.random.default_rng(4)
+    Rm = Rotation.from_rotvec(rng.normal(size=3) * 0.5).as_matrix()
+    t = np.array([1.0, 0.5, 18.0])
+    pose = np.concatenate([Rm, t[:, None]], axis=1).astype(np.float32)
+    wlh = np.array([1.9, 4.6, 1.7], np.float32)
+    roi = np.array([500.0, 220.0, 700.0, 380.0], np.float32)
+    K = np.array([[800.0, 0, 640], [0, 800, 360], [0, 0, 1]], np.float32)
+
+    # numpy re-derivation following reference utils.py:1076-1110 (nusc corner
+    # order: x fwd/back +-l/2, y left/right +-w/2, z up/down +-h/2 pattern),
+    # view_points (K projection, normalize) and normalize_by_roi
+    # (center-shift + divide by the FULL max ROI side, utils.py:1190-1192).
+    w, l, h = wlh
+    x_c = np.array([1, 1, 1, 1, -1, -1, -1, -1]) * (l / 2)
+    y_c = np.array([1, -1, -1, 1, 1, -1, -1, 1]) * (w / 2)
+    z_c = np.array([1, 1, -1, -1, 1, 1, -1, -1]) * (h / 2)
+    corners = pose[:, :3] @ np.vstack([x_c, y_c, z_c]) + pose[:, 3:]
+    uvz = K @ corners
+    uv = uvz[:2] / uvz[2]
+    dim = max(roi[2] - roi[0], roi[3] - roi[1])
+    center = np.array([(roi[0] + roi[2]) / 2, (roi[1] + roi[3]) / 2])
+    uv_norm_expect = (uv - center[:, None]) / dim
+
+    uv_norm, dim_got = project_box_corners_normalized(
+        jnp.asarray(pose), jnp.asarray(wlh), jnp.asarray(roi), jnp.asarray(K))
+    np.testing.assert_allclose(float(dim_got), dim, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(uv_norm).reshape(2, 8), uv_norm_expect, atol=1e-4)
