@@ -126,7 +126,7 @@ class NuScenesData:
             subset = json.load(open(index_file))
             if ("rand_data_ids" not in subset
                     or len(subset["rand_data_ids"]) != test_size):
-                ids = np.random.permutation(len(self.all_valid_samples))[:test_size]
+                ids = self.rng.permutation(len(self.all_valid_samples))[:test_size]
                 subset["rand_data_ids"] = ids.tolist()
                 json.dump(subset, open(index_file, "w"), indent=4)
             self.all_valid_samples = [
@@ -167,7 +167,7 @@ class NuScenesData:
                 if "LIDAR_TOP" not in rec["data"]:
                     continue
                 cams = [k for k in rec["data"] if "CAM" in k]
-                for cam in np.random.permutation(cams):
+                for cam in self.rng.permutation(cams):
                     data_path, boxes, K = self.nusc.get_sample_data(
                         rec["data"][cam], box_vis_level=BoxVisibility.ALL,
                         selected_anntokens=[anntoken])
