@@ -1,13 +1,18 @@
-"""Benchmark: renderer throughput (rays/sec/chip) on the TTO hot path.
+"""Benchmarks on the real TPU chip. Prints ONE JSON line.
 
-Runs the published SUPNeRF decoder configuration (W=256, shape_blocks=3,
-texture_blocks=1, PE 10/4) through the full per-iteration render:
-stratified sampling -> PE -> conditioned MLP -> alpha compositing, batched
-across objects exactly as the vmapped test-time optimizer executes it.
+Default (BENCH_METRIC=all): runs all three benchmarks and reports the
+DECLARED north-star metric (render rays/sec/chip vs the 50M rays/s target in
+BASELINE.json) as the primary, with the TTO and train-step throughputs in
+"extra" — both product-level measures, reported every round so the scoreboard
+is interpretable (the 50M target exceeds the v5e bf16 roofline for this
+field; see BASELINE.md "Roofline note" for the arithmetic and the achievable
+target the vs_roofline field tracks).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured against the north-star target of 50M rays/sec/chip
-(BASELINE.json) — no throughput numbers exist for the reference itself.
+BENCH_METRIC=render|tto|train selects a single benchmark for iteration.
+
+All timed loops run INSIDE one jitted program (lax.fori_loop / lax.scan):
+dispatch round-trips through this environment's TPU tunnel cost ~0.4 s each
+and would otherwise dominate.
 """
 import json
 import os
@@ -25,21 +30,32 @@ jax.config.update("jax_compilation_cache_dir",
 
 import jax.numpy as jnp
 
+# Declared north star (BASELINE.json) and the physically achievable ceiling:
+# the published field costs ~56 MFLOP/ray forward (1024-wide PE -> 6x256 MLP
+# x 64 samples), so a 394 TFLOP/s bf16 v5e tops out near 3.5M rays/s forward
+# — see BASELINE.md "Roofline note".
+NORTH_STAR_RAYS_PER_SEC = 50e6
+ROOFLINE_RAYS_PER_SEC = 3.5e6
+# The reference optimizes objects serially on GPU at roughly 6 objects/min
+# (~10 s/object: 100 iters + per-iter eval renders). No published number —
+# this is the builder's estimate, labeled as such.
+REFERENCE_TTO_OBJ_PER_MIN_EST = 6.0
+
+_PUBLISHED_HP = {
+    "shape_blocks": 3, "texture_blocks": 1, "latent_dim": 256,
+    "pose_shortcut": 1, "pred_wlh": 0,
+}
+
 
 def bench_tto():
     """Full test-time-optimization throughput: objects/min through the
     published pipeline (encode + refine + 100 Adam iterations at 1024 rays x
     64 samples) as one jitted program per object batch."""
-    import jax.numpy as jnp
-
     from supnerf_tpu.data.synthetic import make_object_batch
     from supnerf_tpu.models import build_model, init_model_variables
     from supnerf_tpu.tto.core import ObjectBatch, TTOConfig, run_tto_batch
 
-    model = build_model("supnerf", {
-        "shape_blocks": 3, "texture_blocks": 1, "latent_dim": 256,
-        "pose_shortcut": 1, "pred_wlh": 0,
-    })
+    model = build_model("supnerf", _PUBLISHED_HP)
     variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
     B = int(os.environ.get("BENCH_OBJECTS", "16"))
     cfg = TTOConfig()  # published defaults: 100 opts, 32^2 rays, 64 samples
@@ -53,35 +69,23 @@ def bench_tto():
     out = fn(variables, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    obj_per_min = B / dt * 60
-    print(json.dumps({
-        "metric": "tto_objects_per_min_per_chip",
-        "value": round(obj_per_min, 2),
-        "unit": "objects/min",
-        # the reference optimizes objects serially on GPU at roughly 6/min
-        # (~10 s/object: 100 iters + per-iter eval renders; no published number)
-        "vs_baseline": round(obj_per_min / 6.0, 2),
-    }))
+    return B / dt * 60
 
 
-def main():
-    # Default metric: full test-time-optimization throughput (the product-level
-    # north star — the reference optimizes objects serially). Set
-    # BENCH_METRIC=render for raw renderer rays/s.
-    if os.environ.get("BENCH_METRIC", "tto").lower() == "tto":
-        return bench_tto()
+def bench_render():
+    """Raw renderer throughput at the TTO-iteration shape: stratified
+    sampling -> PE -> conditioned MLP -> compositing, vmapped over objects."""
     from supnerf_tpu.models import build_model, init_model_variables
     from supnerf_tpu.render.renderer import render_rays_frustum
 
     model = build_model("supnerf", {
-        "shape_blocks": 3, "texture_blocks": 1, "latent_dim": 256,
-        "pose_shortcut": 1, "pred_wlh": 0,
+        **_PUBLISHED_HP,
         "field_dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
     })
     variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
 
-    # TTO-iteration shape: render_im_sz=32 -> 1024 rays x 64 samples per object,
-    # batched over B objects (the vmapped optimizer's inner render).
+    # TTO-iteration shape: render_im_sz=32 -> 1024 rays x 64 samples per
+    # object, batched over B objects (the vmapped optimizer's inner render).
     B = int(os.environ.get("BENCH_OBJECTS", "32"))
     IM_SZ, N_SAMPLES = 32, 64
     K = jnp.asarray([[800.0, 0, 640], [0, 800, 360], [0, 0, 1]])
@@ -95,13 +99,11 @@ def main():
 
     impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
     if impl == "pallas":
-        import jax.numpy as _jnp
-
         from supnerf_tpu.ops.pallas_field import make_pallas_field_fn
 
-        dt = {"bfloat16": _jnp.bfloat16, "float32": _jnp.float32}[
+        dt_ = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
             os.environ.get("BENCH_DTYPE", "bfloat16")]
-        pallas_field = make_pallas_field_fn(variables, dtype=dt)
+        pallas_field = make_pallas_field_fn(variables, dtype=dt_)
 
         def field_for(sc, tc):
             return lambda xyz, vd: pallas_field(xyz, vd, sc, tc)
@@ -119,8 +121,6 @@ def main():
 
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
 
-    # The host<->TPU dispatch round-trip dominates small calls in this
-    # environment, so the timing loop runs INSIDE one jitted program.
     @jax.jit
     def timed_loop(keys, sc, tc):
         def body(i, acc):
@@ -136,15 +136,112 @@ def main():
     t0 = time.perf_counter()
     jax.block_until_ready(timed_loop(keys, shapecodes, texturecodes))
     dt = time.perf_counter() - t0
+    return B * IM_SZ * IM_SZ * n_iters / dt
 
-    rays = B * IM_SZ * IM_SZ * n_iters
-    rays_per_sec = rays / dt
-    target = 50e6
+
+def bench_train():
+    """Unified training step at the published batch-48 shape (48 x 1024 rays
+    x 64 samples + 128 px encoder input), n steps inside one jitted
+    fori_loop. Returns (steps/s, point-evals/s)."""
+    from supnerf_tpu.models import build_model
+    from supnerf_tpu.training import (
+        TrainBatch, TrainConfig, init_train_state, make_train_step,
+    )
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "48"))
+    R, S, IMG = 1024, 64, 128
+    n_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
+
+    model = build_model("supnerf", _PUBLISHED_HP)
+    cfg = TrainConfig(latent_dim=256)
+    state = init_train_state(model, jax.random.PRNGKey(0), n_instances=B,
+                             cfg=cfg, img_size=IMG)
+    step = make_train_step(model, cfg, donate=False)
+
+    rng = np.random.default_rng(0)
+    eye_pose = np.broadcast_to(
+        np.concatenate([np.eye(3), np.array([[0.0], [0.0], [20.0]])], axis=1),
+        (B, 3, 4)).astype(np.float32)
+    Km = np.broadcast_to(np.array(
+        [[800.0, 0, 640], [0, 800, 360], [0, 0, 1]], np.float32), (B, 3, 3))
+    batch = TrainBatch(
+        img_in=jnp.asarray(rng.uniform(0, 1, (B, IMG, IMG, 3)), jnp.float32),
+        xyz=jnp.asarray(rng.normal(size=(B, R, S, 3)) * 0.3, jnp.float32),
+        viewdir=jnp.asarray(rng.normal(size=(B, R, S, 3)), jnp.float32),
+        z_vals=jnp.sort(jnp.asarray(rng.uniform(10, 30, (B, S)), jnp.float32), axis=-1),
+        rgb_tgt=jnp.asarray(rng.uniform(0, 1, (B, R, 3)), jnp.float32),
+        occ_pixels=jnp.asarray(rng.choice([-1.0, 0.0, 1.0], (B, R, 1)), jnp.float32),
+        src_pose=jnp.asarray(eye_pose),
+        tgt_uv=jnp.asarray(rng.uniform(0, 1000, (B, 2, 8)), jnp.float32),
+        tgt_uv_aug=jnp.asarray(rng.uniform(0, 1000, (B, 2, 8)), jnp.float32),
+        wlh=jnp.asarray(np.tile([1.9, 4.6, 1.7], (B, 1)), jnp.float32),
+        wlh_aug=jnp.asarray(np.tile([1.9, 4.6, 1.7], (B, 1)), jnp.float32),
+        roi=jnp.asarray(np.tile([500.0, 200.0, 700.0, 400.0], (B, 1)), jnp.float32),
+        K=jnp.asarray(Km),
+        code_idx=jnp.arange(B, dtype=jnp.int32),
+    )
+
+    @jax.jit
+    def loop(state, batch, key):
+        def body(i, st):
+            st2, _ = step(st, batch, jax.random.fold_in(key, i))
+            return st2
+
+        return jax.lax.fori_loop(0, n_iters, body, state)
+
+    jax.block_until_ready(loop(state, batch, jax.random.PRNGKey(0)).niter)
+    t0 = time.perf_counter()
+    out = loop(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(out.niter)
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_iters / dt
+    return steps_per_sec, steps_per_sec * B * R * S
+
+
+def main():
+    mode = os.environ.get("BENCH_METRIC", "all").lower()
+    if mode == "tto":
+        v = bench_tto()
+        print(json.dumps({
+            "metric": "tto_objects_per_min_per_chip", "value": round(v, 2),
+            "unit": "objects/min",
+            "vs_baseline": round(v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
+            "extra": {"baseline_is_builder_estimate": True}}))
+        return
+    if mode == "render":
+        v = bench_render()
+        print(json.dumps({
+            "metric": "render_rays_per_sec_per_chip", "value": round(v, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(v / NORTH_STAR_RAYS_PER_SEC, 4),
+            "extra": {"vs_roofline": round(v / ROOFLINE_RAYS_PER_SEC, 4)}}))
+        return
+    if mode == "train":
+        sps, peps = bench_train()
+        print(json.dumps({
+            "metric": "train_steps_per_sec_per_chip", "value": round(sps, 3),
+            "unit": "steps/s", "vs_baseline": None,
+            "extra": {"train_point_evals_per_sec": round(peps, 1),
+                      "batch": int(os.environ.get("BENCH_TRAIN_BATCH", "48"))}}))
+        return
+
+    # default: all three, one line, north-star primary
+    rays = bench_render()
+    tto = bench_tto()
+    sps, peps = bench_train()
     print(json.dumps({
         "metric": "render_rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "value": round(rays, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / target, 4),
+        "vs_baseline": round(rays / NORTH_STAR_RAYS_PER_SEC, 4),
+        "extra": {
+            "vs_roofline": round(rays / ROOFLINE_RAYS_PER_SEC, 4),
+            "tto_objects_per_min_per_chip": round(tto, 2),
+            "tto_vs_serial_reference_estimate": round(
+                tto / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
+            "train_steps_per_sec_per_chip": round(sps, 3),
+            "train_point_evals_per_sec": round(peps, 1),
+        },
     }))
 
 
