@@ -31,8 +31,8 @@ jax.config.update("jax_compilation_cache_dir",
 import jax.numpy as jnp
 
 # Declared north star (BASELINE.json) and the physically achievable ceiling:
-# the published field costs ~56 MFLOP/ray forward (1024-wide PE -> 6x256 MLP
-# x 64 samples), so a 394 TFLOP/s bf16 v5e tops out near 3.5M rays/s forward
+# the published field costs ~56 MFLOP/ray forward (PE -> 6x256-wide MLP
+# x 64 samples), so a 197 TFLOP/s bf16 v5e tops out near 3.5M rays/s forward
 # — see BASELINE.md "Roofline note".
 NORTH_STAR_RAYS_PER_SEC = 50e6
 ROOFLINE_RAYS_PER_SEC = 3.5e6
@@ -58,7 +58,9 @@ def bench_tto():
     model = build_model("supnerf", _PUBLISHED_HP)
     variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
     B = int(os.environ.get("BENCH_OBJECTS", "16"))
-    cfg = TTOConfig()  # published defaults: 100 opts, 32^2 rays, 64 samples
+    # published defaults: 100 opts, 32^2 rays, 64 samples. BENCH_FIELD_IMPL
+    # selects the hot-loop field: fused Pallas fwd+bwd kernels vs XLA autodiff.
+    cfg = TTOConfig(field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
     raw, _ = make_object_batch(B, seed=0, in_img_sz=128, render_im_sz=32,
                                n_lidar=256)
     batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})

@@ -86,6 +86,10 @@ def add_optimize_args(p: argparse.ArgumentParser):
                    help="override dataset: nusc | kitti | waymo | synthetic")
     p.add_argument("--num_objects", type=int, default=32,
                    help="synthetic dataset size")
+    p.add_argument("--field_impl", type=str, default="flax",
+                   choices=["flax", "pallas"],
+                   help="NeRF field on the TTO hot loop: XLA autodiff (flax) "
+                        "or the fused fwd+bwd Pallas kernels")
     return p
 
 

@@ -15,10 +15,18 @@ Design notes (published config: W=256, shape_blocks=3, texture_blocks=1):
     (M, d_xyz) / (M, d_dir) tiles.
   - Matmuls run in the requested dtype (bfloat16 by default) with float32
     accumulation (preferred_element_type).
-  - Forward-only: training/TTO gradients use the flax path (autodiff); this
-    kernel accelerates inference renders and is wired behind
-    use_pallas=True in callers. Parity with the flax decoder is tested in
-    interpret mode on CPU and on-device on TPU.
+  - field_forward_pallas is the forward-only entry (inference renders).
+    field_apply_pallas is the DIFFERENTIABLE entry for the TTO hot loop: a
+    jax.custom_vjp whose backward is a second fused kernel that recomputes
+    the forward activations tile-by-tile (no HBM activation stash) and emits
+    gradients w.r.t. the positional encodings (-> pose via xyz/viewdir) and
+    the per-object conditioned latents (-> shape/texture codes). Decoder
+    WEIGHTS get zero cotangents — TTO freezes the network (reference
+    optimizer_nuscenes.py:1762 optimizes only codes+pose), so their gradient
+    graph is dead code XLA removes; do NOT use field_apply_pallas where
+    decoder weights must train.
+  - Parity with the flax decoder (values and grads) is tested in interpret
+    mode on CPU and on-device on TPU.
 """
 from __future__ import annotations
 
@@ -69,13 +77,20 @@ def conditioned_latents(packed: dict, shapecode, texturecode):
     return zs, zt
 
 
-def _field_kernel(n_shape: int, n_tex: int, dtype,
-                  xpe_ref, dpe_ref, zs_ref, zt_ref,
-                  wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
-                  wes_ref, bes_ref, wsg_ref, bsg_ref,
-                  wvd_a_ref, wvd_b_ref, bvd_ref,
-                  wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
-                  sigma_ref, rgb_ref):
+def _pe_rank2(x, degree: int):
+    """In-kernel positional encoding, rank-2 only (Mosaic-friendly):
+    [x, sin(2^i x)..., cos(2^i x)...] with the (freq-major, coord-minor)
+    layout of models.nerf_mlp.positional_encoding. x: (m, D) -> (m, D(2L+1))."""
+    xx = jnp.concatenate([x * (2.0 ** i) for i in range(degree)], axis=1)
+    return jnp.concatenate([x, jnp.sin(xx), jnp.cos(xx)], axis=1)
+
+
+def _field_chain(n_shape: int, n_tex: int, dtype, xpe, dpe, zs_ref, zt_ref,
+                 wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                 wes_ref, bes_ref, wsg_ref, bsg_ref,
+                 wvd_a_ref, wvd_b_ref, bvd_ref,
+                 wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref):
+    """The fused decoder chain on in-VMEM values xpe/dpe -> (sigma, rgb)."""
     f32 = jnp.float32
     # Mosaic requires 32-bit matmul accumulation. Activations are STORED in
     # f32 between layers: bf16 storage was measured ~20% slower on v5e (the
@@ -94,59 +109,89 @@ def _field_kernel(n_shape: int, n_tex: int, dtype,
     def cast(x):
         return x.astype(act)
 
-    y = jnp.maximum(mm(xpe_ref[:], wxyz_ref[:]) + cast(bxyz_ref[:]), 0)
+    y = jnp.maximum(mm(xpe, wxyz_ref[:]) + cast(bxyz_ref[:]), 0)
     for j in range(n_shape):
         y = y + cast(zs_ref[j][None, :])
         y = jnp.maximum(mm(y, wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0)
     y = mm(y, wes_ref[:]) + cast(bes_ref[:])
     sigma = jax.nn.softplus(mm(y, wsg_ref[:], out=f32) + bsg_ref[:])
-    h = mm(y, wvd_a_ref[:]) + mm(dpe_ref[:], wvd_b_ref[:]) + cast(bvd_ref[:])
+    h = mm(y, wvd_a_ref[:]) + mm(dpe, wvd_b_ref[:]) + cast(bvd_ref[:])
     h = jnp.maximum(h, 0)
     for j in range(n_tex):
         h = h + cast(zt_ref[j][None, :])
         h = jnp.maximum(mm(h, wtx_ref[j]) + cast(btx_ref[j][None, :]), 0)
     hh = jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0)
     rgb = mm(hh, wr2_ref[:], out=f32) + br2_ref[:]
+    return sigma, rgb
+
+
+def _field_kernel(n_shape: int, n_tex: int, dtype,
+                  xpe_ref, dpe_ref, zs_ref, zt_ref,
+                  wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                  wes_ref, bes_ref, wsg_ref, bsg_ref,
+                  wvd_a_ref, wvd_b_ref, bvd_ref,
+                  wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
+                  sigma_ref, rgb_ref):
+    sigma, rgb = _field_chain(
+        n_shape, n_tex, dtype, xpe_ref[:], dpe_ref[:], zs_ref, zt_ref,
+        wxyz_ref, bxyz_ref, wsh_ref, bsh_ref, wes_ref, bes_ref, wsg_ref,
+        bsg_ref, wvd_a_ref, wvd_b_ref, bvd_ref, wtx_ref, btx_ref,
+        wr1_ref, br1_ref, wr2_ref, br2_ref)
     sigma_ref[:] = sigma
     rgb_ref[:] = rgb
 
 
-@functools.partial(jax.jit, static_argnames=("shape_blocks", "texture_blocks",
-                                             "num_xyz_freq", "num_dir_freq",
-                                             "tile_m", "dtype", "interpret"))
-def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
-                         shape_blocks: int = 3, texture_blocks: int = 1,
-                         num_xyz_freq: int = 10, num_dir_freq: int = 4,
-                         tile_m: int = 1024, dtype: Any = jnp.bfloat16,
-                         interpret: bool = False):
-    """Evaluate the field for one object.
+def _field_kernel_raw(n_shape: int, n_tex: int, dtype, l_xyz: int, l_dir: int,
+                      xyz_ref, vd_ref, zs_ref, zt_ref,
+                      wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                      wes_ref, bes_ref, wsg_ref, bsg_ref,
+                      wvd_a_ref, wvd_b_ref, bvd_ref,
+                      wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
+                      sigma_ref, rgb_ref):
+    """Forward kernel over RAW points: the positional encodings are computed
+    in-kernel, so HBM streams only (m, 3) xyz/viewdir instead of (m, 63+27)
+    encodings — ~15x less input traffic for the published PE degrees."""
+    xpe = _pe_rank2(xyz_ref[:], l_xyz)
+    dpe = _pe_rank2(vd_ref[:], l_dir)
+    sigma, rgb = _field_chain(
+        n_shape, n_tex, dtype, xpe, dpe, zs_ref, zt_ref,
+        wxyz_ref, bxyz_ref, wsh_ref, bsh_ref, wes_ref, bes_ref, wsg_ref,
+        bsg_ref, wvd_a_ref, wvd_b_ref, bvd_ref, wtx_ref, btx_ref,
+        wr1_ref, br1_ref, wr2_ref, br2_ref)
+    sigma_ref[:] = sigma
+    rgb_ref[:] = rgb
 
-    xyz/viewdir: (..., 3); shapecode/texturecode: (latent,).
-    Returns (sigmas (..., 1), rgbs (..., 3)) in float32.
-    """
-    lead_shape = xyz.shape[:-1]
-    xyz_f = xyz.reshape(-1, 3)
-    vd_f = viewdir.reshape(-1, 3)
-    M = xyz_f.shape[0]
+
+def flatten_weights(packed: dict):
+    """packed dict -> the 17-tuple of kernel weight operands (stacked blocks,
+    viewdir matmul split at W rows)."""
+    W = packed["w_xyz"][0].shape[1]
+    w_vd, b_vd = packed["w_vd"]
+    return (
+        packed["w_xyz"][0], packed["w_xyz"][1],
+        jnp.stack([k for k, _ in packed["w_shape"]]),
+        jnp.stack([b for _, b in packed["w_shape"]]),
+        packed["w_enc_shape"][0], packed["w_enc_shape"][1],
+        packed["w_sigma"][0], packed["w_sigma"][1],
+        w_vd[:W], w_vd[W:], b_vd,
+        jnp.stack([k for k, _ in packed["w_texture"]]),
+        jnp.stack([b for _, b in packed["w_texture"]]),
+        packed["w_rgb1"][0], packed["w_rgb1"][1],
+        packed["w_rgb2"][0], packed["w_rgb2"][1],
+    )
+
+
+def _fwd_pallas_call(wt: tuple, xpe, dpe, zs, zt, *, shape_blocks: int,
+                     texture_blocks: int, tile_m: int, dtype, interpret: bool):
+    """Run the forward kernel over unpadded (M, d) encodings; returns
+    (sigma (M, 1), rgb (M, 3)) in float32."""
+    M = xpe.shape[0]
     pad = (-M) % tile_m
-    xpe = positional_encoding(xyz_f, num_xyz_freq)
-    dpe = positional_encoding(vd_f, num_dir_freq)
     if pad:
         xpe = jnp.pad(xpe, ((0, pad), (0, 0)))
         dpe = jnp.pad(dpe, ((0, pad), (0, 0)))
     Mp = M + pad
-    d_xyz = xpe.shape[-1]
-    d_dir = dpe.shape[-1]
-    W = packed["w_xyz"][0].shape[1]
-
-    zs, zt = conditioned_latents(packed, shapecode, texturecode)
-    w_vd, b_vd = packed["w_vd"]
-    wvd_a, wvd_b = w_vd[:W], w_vd[W:]
-
-    wsh = jnp.stack([k for k, _ in packed["w_shape"]])
-    bsh = jnp.stack([b for _, b in packed["w_shape"]])
-    wtx = jnp.stack([k for k, _ in packed["w_texture"]])
-    btx = jnp.stack([b for _, b in packed["w_texture"]])
+    d_xyz, d_dir = xpe.shape[-1], dpe.shape[-1]
 
     grid = (Mp // tile_m,)
     tile_spec = lambda d: pl.BlockSpec((tile_m, d), lambda i: (i, 0),
@@ -157,17 +202,7 @@ def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
     sigma, rgb = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            tile_spec(d_xyz), tile_spec(d_dir),
-            full(), full(),                    # zs, zt
-            full(), full(),                    # wxyz, bxyz
-            full(), full(),                    # wsh, bsh (stacked)
-            full(), full(),                    # wes, bes
-            full(), full(),                    # wsg, bsg
-            full(), full(), full(),            # wvd_a, wvd_b, bvd
-            full(), full(),                    # wtx, btx
-            full(), full(), full(), full(),    # wr1, br1, wr2, br2
-        ],
+        in_specs=[tile_spec(d_xyz), tile_spec(d_dir)] + [full()] * 19,
         out_specs=[
             pl.BlockSpec((tile_m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -177,20 +212,281 @@ def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
             jax.ShapeDtypeStruct((Mp, 3), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        xpe, dpe, zs, zt,
-        packed["w_xyz"][0], packed["w_xyz"][1],
-        wsh, bsh,
-        packed["w_enc_shape"][0], packed["w_enc_shape"][1],
-        packed["w_sigma"][0], packed["w_sigma"][1],
-        wvd_a, wvd_b, b_vd,
-        wtx, btx,
-        packed["w_rgb1"][0], packed["w_rgb1"][1],
-        packed["w_rgb2"][0], packed["w_rgb2"][1],
-    )
-    sigma = sigma[:M].reshape(*lead_shape, 1)
-    rgb = rgb[:M].reshape(*lead_shape, 3)
-    return sigma, rgb
+    )(xpe, dpe, zs, zt, *wt)
+    return sigma[:M], rgb[:M]
+
+
+def _fwd_pallas_call_raw(wt: tuple, xyz, vd, zs, zt, *, shape_blocks: int,
+                         texture_blocks: int, num_xyz_freq: int,
+                         num_dir_freq: int, tile_m: int, dtype,
+                         interpret: bool):
+    """Forward kernel over raw (M, 3) points with in-kernel PE."""
+    M = xyz.shape[0]
+    pad = (-M) % tile_m
+    if pad:
+        xyz = jnp.pad(xyz, ((0, pad), (0, 0)))
+        vd = jnp.pad(vd, ((0, pad), (0, 0)))
+    Mp = M + pad
+
+    grid = (Mp // tile_m,)
+    tile_spec = lambda d: pl.BlockSpec((tile_m, d), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_field_kernel_raw, shape_blocks, texture_blocks,
+                               dtype, num_xyz_freq, num_dir_freq)
+    sigma, rgb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec(3), tile_spec(3)] + [full()] * 19,
+        out_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xyz, vd, zs, zt, *wt)
+    return sigma[:M], rgb[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("shape_blocks", "texture_blocks",
+                                             "num_xyz_freq", "num_dir_freq",
+                                             "tile_m", "dtype", "interpret",
+                                             "pe_in_kernel"))
+def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
+                         shape_blocks: int = 3, texture_blocks: int = 1,
+                         num_xyz_freq: int = 10, num_dir_freq: int = 4,
+                         tile_m: int = 1024, dtype: Any = jnp.bfloat16,
+                         interpret: bool = False, pe_in_kernel: bool = True):
+    """Evaluate the field for one object (forward only).
+
+    xyz/viewdir: (..., 3); shapecode/texturecode: (latent,).
+    Returns (sigmas (..., 1), rgbs (..., 3)) in float32.
+    """
+    lead_shape = xyz.shape[:-1]
+    zs, zt = conditioned_latents(packed, shapecode, texturecode)
+    wt = _precast_weights(flatten_weights(packed), dtype)
+    if pe_in_kernel:
+        sigma, rgb = _fwd_pallas_call_raw(
+            wt, xyz.reshape(-1, 3), viewdir.reshape(-1, 3),
+            zs, zt, shape_blocks=shape_blocks, texture_blocks=texture_blocks,
+            num_xyz_freq=num_xyz_freq, num_dir_freq=num_dir_freq,
+            tile_m=tile_m, dtype=dtype, interpret=interpret)
+    else:
+        xpe = positional_encoding(xyz.reshape(-1, 3), num_xyz_freq)
+        dpe = positional_encoding(viewdir.reshape(-1, 3), num_dir_freq)
+        sigma, rgb = _fwd_pallas_call(
+            wt, xpe, dpe, zs, zt,
+            shape_blocks=shape_blocks, texture_blocks=texture_blocks,
+            tile_m=tile_m, dtype=dtype, interpret=interpret)
+    return sigma.reshape(*lead_shape, 1), rgb.reshape(*lead_shape, 3)
+
+
+# --------------------------------------------------------------------------
+# Differentiable path: fused backward kernel (recompute-in-backward) + vjp
+# --------------------------------------------------------------------------
+
+def _pe_bwd_rank2(x, xx, g_pe, degree: int):
+    """Backward of _pe_rank2: g_pe (m, D(2L+1)) -> dx (m, D). xx = the
+    pre-sin/cos frequency products from the recompute."""
+    D = x.shape[1]
+    LD = degree * D
+    g_sin = g_pe[:, D:D + LD]
+    g_cos = g_pe[:, D + LD:]
+    d_xx = jnp.cos(xx) * g_sin - jnp.sin(xx) * g_cos
+    dx = g_pe[:, :D]
+    for i in range(degree):
+        dx = dx + d_xx[:, i * D:(i + 1) * D] * (2.0 ** i)
+    return dx
+
+
+def _field_bwd_kernel(n_shape: int, n_tex: int, dtype, l_xyz: int, l_dir: int,
+                      xyz_ref, vd_ref, zs_ref, zt_ref,
+                      wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                      wes_ref, bes_ref, wsg_ref, bsg_ref,
+                      wvd_a_ref, wvd_b_ref, bvd_ref,
+                      wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
+                      dsig_ref, drgb_ref,
+                      dxyz_ref, dvd_ref, dzs_ref, dzt_ref):
+    """Recompute the forward chain for this tile (positional encodings
+    included, keeping only relu outputs as masks, all in VMEM — no HBM
+    activation stash), then run the transposed chain to produce gradients
+    w.r.t. the raw points (-> pose) and the conditioned latents (-> codes).
+    Weight gradients are NOT computed (frozen-decoder TTO semantics)."""
+    f32 = jnp.float32
+
+    def mm(x, w):      # x @ w
+        return jax.lax.dot_general(
+            x.astype(dtype), w.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def mm_t(g, w):    # g @ w.T  (contract g dim1 with w dim1)
+        return jax.lax.dot_general(
+            g.astype(dtype), w.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    def cast(x):
+        return x.astype(f32)
+
+    # ---- forward recompute (store relu outputs; mask(x) == x > 0) ----------
+    x = xyz_ref[:]
+    xx = jnp.concatenate([x * (2.0 ** i) for i in range(l_xyz)], axis=1)
+    xpe = jnp.concatenate([x, jnp.sin(xx), jnp.cos(xx)], axis=1)
+    d = vd_ref[:]
+    dd = jnp.concatenate([d * (2.0 ** i) for i in range(l_dir)], axis=1)
+    dpe = jnp.concatenate([d, jnp.sin(dd), jnp.cos(dd)], axis=1)
+
+    y0 = jnp.maximum(mm(xpe, wxyz_ref[:]) + cast(bxyz_ref[:]), 0)
+    ys = []
+    y = y0
+    for j in range(n_shape):
+        y = jnp.maximum(mm(y + cast(zs_ref[j][None, :]), wsh_ref[j])
+                        + cast(bsh_ref[j][None, :]), 0)
+        ys.append(y)
+    e = mm(y, wes_ref[:]) + cast(bes_ref[:])
+    sig_gate = jax.nn.sigmoid(mm(e, wsg_ref[:]) + cast(bsg_ref[:]))  # (m, 1)
+    v = jnp.maximum(mm(e, wvd_a_ref[:]) + mm(dpe, wvd_b_ref[:])
+                    + cast(bvd_ref[:]), 0)
+    hs = []
+    h = v
+    for j in range(n_tex):
+        h = jnp.maximum(mm(h + cast(zt_ref[j][None, :]), wtx_ref[j])
+                        + cast(btx_ref[j][None, :]), 0)
+        hs.append(h)
+    hh = jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0)
+
+    # ---- transposed chain ---------------------------------------------------
+    g_hh = jnp.where(hh > 0, mm_t(cast(drgb_ref[:]), wr2_ref[:]), 0.0)
+    g = mm_t(g_hh, wr1_ref[:])
+    dzt_rows = [None] * n_tex
+    for j in reversed(range(n_tex)):
+        g = jnp.where(hs[j] > 0, g, 0.0)
+        g = mm_t(g, wtx_ref[j])
+        dzt_rows[j] = jnp.sum(g, axis=0)
+    g_v = jnp.where(v > 0, g, 0.0)
+    dvd_ref[:] = _pe_bwd_rank2(d, dd, mm_t(g_v, wvd_b_ref[:]), l_dir)
+    g_sig = cast(dsig_ref[:]) * sig_gate                       # (m, 1)
+    g_e = mm_t(g_v, wvd_a_ref[:]) + mm_t(g_sig, wsg_ref[:])
+    g = mm_t(g_e, wes_ref[:])
+    dzs_rows = [None] * n_shape
+    for j in reversed(range(n_shape)):
+        g = jnp.where(ys[j] > 0, g, 0.0)
+        g = mm_t(g, wsh_ref[j])
+        dzs_rows[j] = jnp.sum(g, axis=0)
+    g = jnp.where(y0 > 0, g, 0.0)
+    dxyz_ref[:] = _pe_bwd_rank2(x, xx, mm_t(g, wxyz_ref[:]), l_xyz)
+    dzs_ref[:] = jnp.stack(dzs_rows)[None]
+    dzt_ref[:] = jnp.stack(dzt_rows)[None]
+
+
+def _bwd_pallas_call(wt: tuple, xyz, vd, zs, zt, dsig, drgb, *,
+                     shape_blocks: int, texture_blocks: int,
+                     num_xyz_freq: int, num_dir_freq: int, tile_m: int,
+                     dtype, interpret: bool):
+    M = xyz.shape[0]
+    pad = (-M) % tile_m
+    if pad:
+        pad2 = ((0, pad), (0, 0))
+        xyz, vd = jnp.pad(xyz, pad2), jnp.pad(vd, pad2)
+        dsig, drgb = jnp.pad(dsig, pad2), jnp.pad(drgb, pad2)
+    Mp = M + pad
+    W = wt[0].shape[1]
+    n_tiles = Mp // tile_m
+
+    tile_spec = lambda d: pl.BlockSpec((tile_m, d), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    part_spec = lambda n: pl.BlockSpec((1, n, W), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_field_bwd_kernel, shape_blocks, texture_blocks,
+                               dtype, num_xyz_freq, num_dir_freq)
+    dxyz, dvd, dzs_p, dzt_p = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[tile_spec(3), tile_spec(3)] + [full()] * 19
+                 + [tile_spec(1), tile_spec(3)],
+        out_specs=[tile_spec(3), tile_spec(3),
+                   part_spec(shape_blocks), part_spec(texture_blocks)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, shape_blocks, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, texture_blocks, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xyz, vd, zs, zt, *wt, dsig, drgb)
+    return dxyz[:M], dvd[:M], dzs_p.sum(axis=0), dzt_p.sum(axis=0)
+
+
+# weight-tuple indices that are MATRICES (pre-cast to the compute dtype once
+# in XLA, so the kernels skip a per-tile VPU cast of every weight); biases and
+# latents stay float32 — they are added to float32 accumulators.
+_MAT_IDX = frozenset({0, 2, 4, 6, 8, 9, 11, 13, 15})
+
+
+def _precast_weights(wt: tuple, dtype):
+    return tuple(w.astype(dtype) if i in _MAT_IDX else w
+                 for i, w in enumerate(wt))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_field_core(shape_blocks: int, texture_blocks: int, num_xyz_freq: int,
+                     num_dir_freq: int, tile_fwd: int, tile_bwd: int, dtype,
+                     interpret: bool):
+    """custom_vjp core over (xyz, dd, zs, zt, weights-tuple) -> (sigma, rgb).
+    Cotangents: points + latents real; weights ZERO (frozen decoder)."""
+
+    @jax.custom_vjp
+    def core(xyz, vd, zs, zt, wt):
+        return _fwd_pallas_call_raw(
+            wt, xyz, vd, zs, zt, shape_blocks=shape_blocks,
+            texture_blocks=texture_blocks, num_xyz_freq=num_xyz_freq,
+            num_dir_freq=num_dir_freq, tile_m=tile_fwd, dtype=dtype,
+            interpret=interpret)
+
+    def core_fwd(xyz, vd, zs, zt, wt):
+        return core(xyz, vd, zs, zt, wt), (xyz, vd, zs, zt, wt)
+
+    def core_bwd(res, cts):
+        xyz, vd, zs, zt, wt = res
+        dsig, drgb = cts
+        dxyz, dvd, dzs, dzt = _bwd_pallas_call(
+            wt, xyz, vd, zs, zt, dsig, drgb, shape_blocks=shape_blocks,
+            texture_blocks=texture_blocks, num_xyz_freq=num_xyz_freq,
+            num_dir_freq=num_dir_freq, tile_m=tile_bwd, dtype=dtype,
+            interpret=interpret)
+        return dxyz, dvd, dzs, dzt, jax.tree.map(jnp.zeros_like, wt)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def field_apply_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
+                       shape_blocks: int = 3, texture_blocks: int = 1,
+                       num_xyz_freq: int = 10, num_dir_freq: int = 4,
+                       tile_fwd: int = 1024, tile_bwd: int = 512,
+                       dtype: Any = jnp.bfloat16, interpret: bool = False):
+    """Differentiable fused field for the TTO hot loop.
+
+    Both kernels compute the positional encodings in-kernel from raw points
+    (the backward applies the PE chain rule directly), so gradients flow to
+    xyz/viewdir (-> pose) and to shapecode/texturecode (through the
+    conditioned latent projections). Decoder weights receive ZERO cotangent —
+    use only where the decoder is frozen (test-time optimization; reference
+    optimizer_nuscenes.py:1762 optimizes codes+pose only)."""
+    lead_shape = xyz.shape[:-1]
+    zs, zt = conditioned_latents(packed, shapecode, texturecode)
+    core = _make_field_core(shape_blocks, texture_blocks, num_xyz_freq,
+                            num_dir_freq, tile_fwd, tile_bwd, dtype, interpret)
+    wt = _precast_weights(flatten_weights(packed), dtype)
+    sigma, rgb = core(xyz.reshape(-1, 3), viewdir.reshape(-1, 3), zs, zt, wt)
+    return sigma.reshape(*lead_shape, 1), rgb.reshape(*lead_shape, 3)
 
 
 def make_pallas_field_fn(variables, *, decoder_scope: str = "decoder",

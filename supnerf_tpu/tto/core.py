@@ -81,6 +81,13 @@ class TTOConfig:
     obj_sz_reg: bool = False    # box-limit density regularizer (reference :1412)
     loss_obj_sz_coef: float = 1.0
     sym_loss_coef: float = 0.0  # >0 enables the density-symmetry loss (:1435)
+    field_impl: str = "flax"    # "flax": XLA autodiff through the decoder;
+                                # "pallas": fused fwd+bwd field kernels
+                                # (ops/pallas_field.field_apply_pallas) on the
+                                # 100-iteration hot loop — decoder weights are
+                                # frozen there, so the kernel's zero weight
+                                # cotangent is exact. CodeNeRF-style decoders
+                                # only (SUPNeRF / AutoRFMix / CodeNeRF).
     remat_field: bool = False   # rematerialize the field in the backward pass:
                                 # cuts multi-GB activation stashes (needed for
                                 # object batches >32 on a 16 GB chip) but costs
@@ -235,6 +242,36 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     tx = _make_optimizer(cfg)
     keys = jax.random.split(key, B)
 
+    if cfg.field_impl == "pallas":
+        from supnerf_tpu.ops.pallas_field import field_apply_pallas, pack_decoder_params
+
+        dec_params = variables["params"].get("decoder")
+        if dec_params is None or "encoding_xyz" not in dec_params:
+            raise ValueError(
+                "field_impl='pallas' needs a CodeNeRF-style decoder scope "
+                "(SUPNeRF / AutoRFMix / CodeNeRF)")
+        n_sb = getattr(model, "shape_blocks", 3)
+        n_tb = getattr(model, "texture_blocks", 1)
+        packed = pack_decoder_params(dec_params, n_sb, n_tb)
+        interp = jax.default_backend() == "cpu"  # CPU tests: interpret mode
+
+        def make_field(sc, tc):
+            def f(xyz, vd):
+                return field_apply_pallas(
+                    packed, xyz, vd, sc, tc, shape_blocks=n_sb,
+                    texture_blocks=n_tb,
+                    num_xyz_freq=getattr(model, "num_xyz_freq", 10),
+                    num_dir_freq=getattr(model, "num_dir_freq", 4),
+                    dtype=jnp.float32 if interp else jnp.bfloat16,
+                    tile_fwd=128 if interp else 1024,
+                    tile_bwd=128 if interp else 512,
+                    interpret=interp)
+
+            return f
+    else:
+        def make_field(sc, tc):
+            return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
+
     def optimize_one(sc0, tc0, traj, obj_key, rgb_tgt, occ_tgt, K,
                      roi_nerf, diag, wlh_obj, pose_gt, lid_u, lid_v, lid_d, lid_m):
         refined = traj[-1]
@@ -247,9 +284,7 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
         opt_state0 = tx.init(params0)
 
         def field_fn(p):
-            def f(xyz, vd):
-                return model.apply(variables, xyz, vd, p.shapecode, p.texturecode)
-
+            f = make_field(p.shapecode, p.texturecode)
             return jax.checkpoint(f) if cfg.remat_field else f
 
         def pose_from_params(p):

@@ -40,7 +40,8 @@ KITTI_BOX_FAC = 1.1
 
 def tto_config_from_hpams(hpams: dict, *, reg_iters: int = 3, opt_pose: int = 1,
                           dataset_frame: str = "nusc", pred_wlh: int = 0,
-                          n_lidar: int = 256) -> TTOConfig:
+                          n_lidar: int = 256,
+                          field_impl: str = "flax") -> TTOConfig:
     opt = hpams.get("optimize", {})
     is_kitti_frame = dataset_frame in ("kitti", "waymo")
     return TTOConfig(
@@ -61,6 +62,7 @@ def tto_config_from_hpams(hpams: dict, *, reg_iters: int = 3, opt_pose: int = 1,
         kitti2nusc=is_kitti_frame,
         box_fac=KITTI_BOX_FAC if (is_kitti_frame and not pred_wlh) else 1.0,
         pred_wlh_mode=pred_wlh,
+        field_impl=field_impl,
     )
 
 
@@ -82,7 +84,7 @@ class TTODriver:
                  seed: int = 0, vis: int = 0, vis_im_sz: int = 128,
                  use_pallas: bool = False, init_rot_err: float | None = None,
                  init_trans_err: float | None = None,
-                 rand_angle_lim: float = 0.0):
+                 rand_angle_lim: float = 0.0, field_impl: str = "flax"):
         self.model = model
         self.variables = variables
         self.mean_shape = jnp.asarray(mean_shape)
@@ -111,7 +113,8 @@ class TTODriver:
         self.np_rng = np.random.default_rng(seed)
         self.cfg = cfg if cfg is not None else tto_config_from_hpams(
             hpams, reg_iters=reg_iters, opt_pose=opt_pose,
-            dataset_frame=dataset_frame, pred_wlh=pred_wlh)
+            dataset_frame=dataset_frame, pred_wlh=pred_wlh,
+            field_impl=field_impl)
         if vis >= 2 and not self.cfg.emit_code_curves:
             # per-iteration panels need per-iteration codes/poses
             import dataclasses
@@ -485,25 +488,22 @@ class TTODriver:
         return self.results_dict()
 
     # ------------------------------------------------- cross-view evaluation
-    def eval_cross_view(self, vis_iter=None):
-        """Render each instance's saved codes into every other view of the same
-        instance and score PSNR + lidar depth error (reference eval_cross_view
-        :1279-1410). Returns and saves the cross_eval result dict."""
+    def _cross_view_jit(self):
+        """One jitted program computing an instance's FULL cross-view metric
+        matrices: (n_code, n_v, n_v) PSNR + lidar-depth error in a single
+        dispatch (nested vmap over code-iters x source codes x target views).
+        The reference — and the round-1 version here — dispatched one render
+        per (code-iter, row, col) cell: 6*n_v^2 round-trips per instance at
+        ~0.4 s each through this environment's tunnel."""
+        if hasattr(self, "_cross_jit"):
+            return self._cross_jit
+
         from supnerf_tpu.geometry.boxes import invert_pose
         from supnerf_tpu.ops.volume_render import masked_psnr
         from supnerf_tpu.render.renderer import render_rays_at_pixels, render_rays_frustum
 
-        by_ins = {}
-        for idx in range(len(self.dataset)):
-            s = self.dataset[idx]
-            by_ins.setdefault(s.get("instoken", str(idx)), []).append(idx)
-
-        n_code = len(CODE_SAVE_ITERS)
-        psnr_mat_per_ins = {}
-        depth_mat_per_ins = {}
-
-        def render_metrics_fn(variables, sc, tc, obj_pose_gt, K, roi_nerf, wlh,
-                              rgb_tgt, occ_tgt, lid_u, lid_v, lid_d, lid_m):
+        def one_cell(variables, sc, tc, obj_pose_gt, K, roi_nerf, wlh,
+                     rgb_tgt, occ_tgt, lid_u, lid_v, lid_d, lid_m):
             diag = jnp.linalg.norm(wlh)
             cam = invert_pose(obj_pose_gt)
             field = self._field_for_v(variables, sc, tc)
@@ -521,18 +521,32 @@ class TTODriver:
             derr = jnp.sum(jnp.abs(outd["depth"] - lid_d) * lid_m) / (jnp.sum(lid_m) + 1e-8)
             return psnr, derr
 
-        render_metrics_jit = jax.jit(render_metrics_fn)
+        def matrices(variables, sc, tc, pose_gt, K, roi, wlh,
+                     rgb_tgt, occ_tgt, lid_u, lid_v, lid_d, lid_m):
+            # sc/tc: (n_code, n_v, latent) saved codes; the rest: (n_v, ...)
+            # per-target-view inputs. Rows = source codes, cols = target views.
+            view_axes = (None, None, None) + (0,) * 10
+            over_cols = jax.vmap(one_cell, in_axes=view_axes)
+            over_rows = jax.vmap(over_cols, in_axes=(None, 0, 0) + (None,) * 10)
+            over_code = jax.vmap(over_rows, in_axes=(None, 0, 0) + (None,) * 10)
+            return over_code(variables, sc, tc, pose_gt, K, roi, wlh,
+                             rgb_tgt, occ_tgt, lid_u, lid_v, lid_d, lid_m)
 
-        def render_metrics(sc, tc, inputs):
-            psnr, derr = render_metrics_jit(
-                self.variables, jnp.asarray(sc), jnp.asarray(tc),
-                jnp.asarray(inputs["obj_pose_gt"]), jnp.asarray(inputs["K"]),
-                jnp.asarray(inputs["roi_nerf"], jnp.float32),
-                jnp.asarray(inputs["wlh"]), jnp.asarray(inputs["rgb_tgt"]),
-                jnp.asarray(inputs["occ_tgt"]), jnp.asarray(inputs["lidar_u"]),
-                jnp.asarray(inputs["lidar_v"]), jnp.asarray(inputs["lidar_depth"]),
-                jnp.asarray(inputs["lidar_valid"]))
-            return float(psnr), float(derr)
+        self._cross_jit = jax.jit(matrices)
+        return self._cross_jit
+
+    def eval_cross_view(self, vis_iter=None):
+        """Render each instance's saved codes into every other view of the same
+        instance and score PSNR + lidar depth error (reference eval_cross_view
+        :1279-1410). Returns and saves the cross_eval result dict."""
+        by_ins = {}
+        for idx in range(len(self.dataset)):
+            s = self.dataset[idx]
+            by_ins.setdefault(s.get("instoken", str(idx)), []).append(idx)
+
+        psnr_mat_per_ins = {}
+        depth_mat_per_ins = {}
+        cross_jit = self._cross_view_jit()
 
         for ins, idx_list in by_ins.items():
             views = []
@@ -546,20 +560,33 @@ class TTODriver:
                 continue
             n_v = len(views)
             # host prep runs ONCE per view, not per (code-iter x row) pair
-            prepped = {idx: self._prep_one(idx)[0] for idx, _, _ in views}
-            psnr_mats, depth_mats = [], []
-            for ci in range(n_code):
-                pm = np.zeros((n_v, n_v))
-                dm = np.zeros((n_v, n_v))
-                for r, (idx_r, ann_r, cam_r) in enumerate(views):
-                    sc = self.optimized_shapecodes[ann_r][cam_r][ci]
-                    tc = self.optimized_texturecodes[ann_r][cam_r][ci]
-                    for c, (idx_c, _, _) in enumerate(views):
-                        pm[r, c], dm[r, c] = render_metrics(sc, tc, prepped[idx_c])
-                psnr_mats.append(pm)
-                depth_mats.append(dm)
-            psnr_mat_per_ins[ins] = psnr_mats
-            depth_mat_per_ins[ins] = depth_mats
+            prepped = [self._prep_one(idx)[0] for idx, _, _ in views]
+            # saved codes stacked (n_code, n_v, latent)
+            sc = np.stack([np.asarray(self.optimized_shapecodes[a][c])
+                           for _, a, c in views], axis=1)
+            tc = np.stack([np.asarray(self.optimized_texturecodes[a][c])
+                           for _, a, c in views], axis=1)
+            # pad the view axis to a power-of-two bucket so recompiles are
+            # bounded by log2(max views), not one per distinct view count
+            n_pad = 1 << (n_v - 1).bit_length()
+            if n_pad > n_v:
+                sc = np.concatenate([sc, np.repeat(sc[:, -1:], n_pad - n_v, 1)], 1)
+                tc = np.concatenate([tc, np.repeat(tc[:, -1:], n_pad - n_v, 1)], 1)
+                prepped = prepped + [prepped[-1]] * (n_pad - n_v)
+
+            def col(kk, dt=None):
+                arr = np.stack([p[kk] for p in prepped])
+                return jnp.asarray(arr if dt is None else arr.astype(dt))
+
+            pm, dm = cross_jit(
+                self.variables, jnp.asarray(sc), jnp.asarray(tc),
+                col("obj_pose_gt"), col("K"), col("roi_nerf", np.float32),
+                col("wlh"), col("rgb_tgt"), col("occ_tgt"), col("lidar_u"),
+                col("lidar_v"), col("lidar_depth"), col("lidar_valid"))
+            pm = np.asarray(pm)[:, :n_v, :n_v]
+            dm = np.asarray(dm)[:, :n_v, :n_v]
+            psnr_mat_per_ins[ins] = [pm[ci] for ci in range(pm.shape[0])]
+            depth_mat_per_ins[ins] = [dm[ci] for ci in range(dm.shape[0])]
 
         cross = {
             "psnr_eval_mat_per_ins": psnr_mat_per_ins,

@@ -35,6 +35,19 @@ def test_pallas_field_matches_flax_f32():
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=2e-5)
 
 
+def test_pallas_field_pe_outside_matches_flax():
+    """The PE-outside variant (pe_in_kernel=False, the differentiable core's
+    forward) must also match; the default path computes PE in-kernel."""
+    model, variables, xyz, vd, sc, tc = _setup()
+    sig_ref, rgb_ref = model.apply(variables, xyz, vd, sc, tc)
+    packed = pack_decoder_params(variables["params"], 3, 1)
+    sig, rgb = field_forward_pallas(
+        packed, xyz, vd, sc, tc, dtype=jnp.float32, tile_m=128, interpret=True,
+        pe_in_kernel=False)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=2e-5)
+
+
 def test_pallas_field_bf16_close():
     model, variables, xyz, vd, sc, tc = _setup()
     sig_ref, rgb_ref = model.apply(variables, xyz, vd, sc, tc)
@@ -44,6 +57,65 @@ def test_pallas_field_bf16_close():
     # bf16 operand precision: ~1e-2 relative
     np.testing.assert_allclose(np.asarray(sig), np.asarray(sig_ref), atol=0.05)
     np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref), atol=0.05)
+
+
+def test_pallas_field_grads_match_flax():
+    """field_apply_pallas: gradient parity vs flax autodiff for every TTO
+    degree of freedom (xyz/viewdir -> pose, shapecode/texturecode -> codes)."""
+    from supnerf_tpu.ops.pallas_field import field_apply_pallas
+
+    model, variables, xyz, vd, sc, tc = _setup()
+    packed = pack_decoder_params(variables["params"], 3, 1)
+
+    def loss_flax(xyz, vd, sc, tc):
+        sig, rgb = model.apply(variables, xyz, vd, sc, tc)
+        return jnp.sum(sig * 0.3) + jnp.sum(rgb ** 2)
+
+    def loss_pallas(xyz, vd, sc, tc):
+        sig, rgb = field_apply_pallas(
+            packed, xyz, vd, sc, tc, dtype=jnp.float32,
+            tile_fwd=128, tile_bwd=64, interpret=True)
+        return jnp.sum(sig * 0.3) + jnp.sum(rgb ** 2)
+
+    args = (xyz, vd, sc, tc)
+    g_ref = jax.grad(loss_flax, argnums=(0, 1, 2, 3))(*args)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*args)
+    for gr, gp, name in zip(g_ref, g_pal, ["xyz", "vd", "sc", "tc"]):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-4, atol=2e-4, err_msg=name)
+
+
+def test_pallas_field_grads_under_vmap():
+    """The TTO core vmaps the field over objects; the custom_vjp + pallas_call
+    pair must batch correctly with per-object codes."""
+    from supnerf_tpu.ops.pallas_field import field_apply_pallas
+
+    model, variables, xyz, vd, sc, tc = _setup(shape_blocks=2, texture_blocks=1,
+                                               W=128)
+    packed = pack_decoder_params(variables["params"], 2, 1)
+    B = 3
+    xyz_b = jnp.stack([xyz[:16] * (1 + 0.1 * i) for i in range(B)])
+    vd_b = jnp.stack([vd[:16]] * B)
+    sc_b = jnp.stack([sc[:128] * (1 - 0.2 * i) for i in range(B)])
+    tc_b = jnp.stack([tc[:128] + 0.05 * i for i in range(B)])
+
+    def loss_one_flax(xyz, vd, sc, tc):
+        sig, rgb = model.apply(variables, xyz, vd, sc, tc)
+        return jnp.mean(sig) + jnp.mean(rgb ** 2)
+
+    def loss_one_pallas(xyz, vd, sc, tc):
+        sig, rgb = field_apply_pallas(
+            packed, xyz, vd, sc, tc, shape_blocks=2, texture_blocks=1,
+            dtype=jnp.float32, tile_fwd=64, tile_bwd=64, interpret=True)
+        return jnp.mean(sig) + jnp.mean(rgb ** 2)
+
+    g_ref = jax.vmap(jax.grad(loss_one_flax, argnums=(0, 2, 3)))(
+        xyz_b, vd_b, sc_b, tc_b)
+    g_pal = jax.vmap(jax.grad(loss_one_pallas, argnums=(0, 2, 3)))(
+        xyz_b, vd_b, sc_b, tc_b)
+    for gr, gp, name in zip(g_ref, g_pal, ["xyz", "sc", "tc"]):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-4, atol=2e-4, err_msg=name)
 
 
 def test_pallas_field_padding_and_closure():

@@ -144,3 +144,23 @@ def test_train_test_refiner_composition_parity():
                                       roi[None], K[None])
     np.testing.assert_allclose(np.asarray(pose_tto), np.asarray(pose_train[0]),
                                atol=1e-5)
+
+
+def test_field_impl_pallas_matches_flax():
+    """The fused fwd+bwd Pallas field on the TTO hot loop must reproduce the
+    flax/XLA path: same losses, metrics, and final codes/poses (f32 interpret
+    mode on CPU; on-TPU parity is covered by bench/VALIDATION runs)."""
+    model, variables, batch = _tiny_setup(2)
+    cfg_p = dataclasses.replace(TINY_CFG, field_impl="pallas")
+    res_f = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                          TINY_CFG, jax.random.PRNGKey(0))
+    res_p = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                          cfg_p, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(res_p["loss"]), np.asarray(res_f["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_p["psnr"]), np.asarray(res_f["psnr"]),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res_p["final_pose"]),
+                               np.asarray(res_f["final_pose"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_p["final_shapecode"]),
+                               np.asarray(res_f["final_shapecode"]), atol=1e-4)

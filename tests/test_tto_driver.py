@@ -91,6 +91,37 @@ def test_driver_cross_view_eval(tmp_path):
     assert agg["psnr_cross"].shape == (6,)
 
 
+def test_cross_view_batched_matches_per_cell(tmp_path):
+    """The single-dispatch cross-view matrices must equal a direct per-cell render
+    (the round-1 implementation dispatched 6*n_v^2 programs per instance)."""
+    ds = SynthDataset(4, views_per_ins=2)
+    drv = _driver(tmp_path, ds)
+    drv.run()
+    cross = drv.eval_cross_view()
+
+    from supnerf_tpu.geometry.boxes import invert_pose
+    from supnerf_tpu.ops.volume_render import masked_psnr
+    from supnerf_tpu.render.renderer import render_rays_frustum
+
+    # recompute cell (code-iter 2, row 0 = codes of view 0, col 1 = view 1)
+    ci, r, c = 2, 0, 1
+    sc = jnp.asarray(drv.optimized_shapecodes["ann_0"]["CAM_FRONT"][ci])
+    tc = jnp.asarray(drv.optimized_texturecodes["ann_0"]["CAM_FRONT"][ci])
+    inp = drv._prep_one(1)[0]  # view 1 of ins_0
+    cam = invert_pose(jnp.asarray(inp["obj_pose_gt"]))
+    out = render_rays_frustum(
+        drv._field_for_v(drv.variables, sc, tc), jax.random.PRNGKey(0), cam,
+        jnp.asarray(inp["K"]), jnp.asarray(inp["roi_nerf"], jnp.float32),
+        jnp.linalg.norm(jnp.asarray(inp["wlh"])),
+        n_samples=drv.cfg.n_samples, im_sz=drv.cfg.render_im_sz,
+        shapenet_obj_cood=drv.cfg.shapenet_obj_cood,
+        kitti2nusc=drv.cfg.kitti2nusc)
+    psnr = float(masked_psnr(out["rgb"], jnp.asarray(inp["rgb_tgt"]),
+                             jnp.asarray(inp["occ_tgt"])))
+    got = cross["psnr_eval_mat_per_ins"]["ins_0"][ci][r, c]
+    np.testing.assert_allclose(got, psnr, rtol=2e-4)
+
+
 def test_driver_kitti_frame(tmp_path):
     ds = SynthDataset(2)
     drv = _driver(tmp_path, ds, dataset_frame="kitti")
