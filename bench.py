@@ -36,6 +36,13 @@ import jax.numpy as jnp
 # — see BASELINE.md "Roofline note".
 NORTH_STAR_RAYS_PER_SEC = 50e6
 ROOFLINE_RAYS_PER_SEC = 3.5e6
+# Measured ceiling of the published decoder's matmul SHAPES on this chip:
+# a weights-in-VMEM Pallas kernel running only the 9-layer chain (no PE, no
+# bias/relu) sustains 104 TFLOP/s = 1.81M rays/s — narrow K/N (<=256) layers
+# cannot fill the MXU pipeline to the nominal 197 TF peak. This is a property
+# of the model architecture, not the kernel; see VALIDATION.md round-2
+# "Forward-path profile".
+SHAPE_CEILING_RAYS_PER_SEC = 1.81e6
 # The reference optimizes objects serially on GPU at roughly 6 objects/min
 # (~10 s/object: 100 iters + per-iter eval renders). No published number —
 # this is the builder's estimate, labeled as such.
@@ -216,7 +223,9 @@ def main():
             "metric": "render_rays_per_sec_per_chip", "value": round(v, 1),
             "unit": "rays/s",
             "vs_baseline": round(v / NORTH_STAR_RAYS_PER_SEC, 4),
-            "extra": {"vs_roofline": round(v / ROOFLINE_RAYS_PER_SEC, 4)}}))
+            "extra": {"vs_roofline": round(v / ROOFLINE_RAYS_PER_SEC, 4),
+                      "vs_shape_ceiling": round(
+                          v / SHAPE_CEILING_RAYS_PER_SEC, 4)}}))
         return
     if mode == "train":
         sps, peps = bench_train()
@@ -238,6 +247,7 @@ def main():
         "vs_baseline": round(rays / NORTH_STAR_RAYS_PER_SEC, 4),
         "extra": {
             "vs_roofline": round(rays / ROOFLINE_RAYS_PER_SEC, 4),
+            "vs_shape_ceiling": round(rays / SHAPE_CEILING_RAYS_PER_SEC, 4),
             "tto_objects_per_min_per_chip": round(tto, 2),
             "tto_vs_serial_reference_estimate": round(
                 tto / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),

@@ -260,8 +260,9 @@ def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
                          shape_blocks: int = 3, texture_blocks: int = 1,
                          num_xyz_freq: int = 10, num_dir_freq: int = 4,
                          tile_m: int = 1024, dtype: Any = jnp.bfloat16,
-                         interpret: bool = False, pe_in_kernel: bool = True):
-    """Evaluate the field for one object (forward only).
+                         interpret: bool = False, pe_in_kernel: bool = False):
+    """Evaluate the field for one object (forward only; see
+    make_pallas_field_fn on the pe_in_kernel default).
 
     xyz/viewdir: (..., 3); shapecode/texturecode: (latent,).
     Returns (sigmas (..., 1), rgbs (..., 3)) in float32.
@@ -492,9 +493,15 @@ def field_apply_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
 def make_pallas_field_fn(variables, *, decoder_scope: str = "decoder",
                          shape_blocks: int = 3, texture_blocks: int = 1,
                          num_xyz_freq: int = 10, num_dir_freq: int = 4,
-                         dtype: Any = jnp.bfloat16, interpret: bool = False):
+                         dtype: Any = jnp.bfloat16, interpret: bool = False,
+                         pe_in_kernel: bool = False):
     """Build a field closure (xyz, viewdir, shapecode, texturecode) ->
-    (sigma, rgb) backed by the fused kernel, from a model's variables."""
+    (sigma, rgb) backed by the fused kernel, from a model's variables.
+
+    pe_in_kernel defaults to False for the forward path: computing the PE
+    in-kernel saves ~15x input HBM traffic but the narrow lane concats cost
+    more VPU time than the bandwidth saved at the forward path's arithmetic
+    intensity (measured 0.95M vs 1.56M rays/s on v5e)."""
     packed = pack_decoder_params(
         variables["params"][decoder_scope], shape_blocks, texture_blocks)
 
@@ -503,6 +510,6 @@ def make_pallas_field_fn(variables, *, decoder_scope: str = "decoder",
             packed, xyz, viewdir, shapecode, texturecode,
             shape_blocks=shape_blocks, texture_blocks=texture_blocks,
             num_xyz_freq=num_xyz_freq, num_dir_freq=num_dir_freq,
-            dtype=dtype, interpret=interpret)
+            dtype=dtype, interpret=interpret, pe_in_kernel=pe_in_kernel)
 
     return field_fn
