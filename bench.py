@@ -162,7 +162,8 @@ def bench_train():
     n_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
 
     model = build_model("supnerf", _PUBLISHED_HP)
-    cfg = TrainConfig(latent_dim=256)
+    cfg = TrainConfig(latent_dim=256,
+                      field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
     state = init_train_state(model, jax.random.PRNGKey(0), n_instances=B,
                              cfg=cfg, img_size=IMG)
     step = make_train_step(model, cfg, donate=False)

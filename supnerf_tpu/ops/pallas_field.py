@@ -35,6 +35,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -487,6 +488,322 @@ def field_apply_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
                             num_dir_freq, tile_fwd, tile_bwd, dtype, interpret)
     wt = _precast_weights(flatten_weights(packed), dtype)
     sigma, rgb = core(xyz.reshape(-1, 3), viewdir.reshape(-1, 3), zs, zt, wt)
+    return sigma.reshape(*lead_shape, 1), rgb.reshape(*lead_shape, 3)
+
+
+# --------------------------------------------------------------------------
+# Training path: fused fwd+bwd WITH weight gradients (object-batched call)
+# --------------------------------------------------------------------------
+
+def conditioned_latents_batched(packed: dict, shapecodes, texturecodes):
+    """Per-object latent projections for a code BATCH: (B, latent) ->
+    (zs (B, n_shape, W), zt (B, n_tex, W))."""
+    zs = jnp.stack([
+        jax.nn.relu(shapecodes @ k + b) for k, b in packed["w_shape_latent"]
+    ], axis=1)
+    zt = jnp.stack([
+        jax.nn.relu(texturecodes @ k + b) for k, b in packed["w_texture_latent"]
+    ], axis=1)
+    return zs, zt
+
+
+def _field_train_fwd_kernel(n_shape: int, n_tex: int, dtype,
+                            xpe_ref, dpe_ref, zs_ref, zt_ref,
+                            wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                            wes_ref, bes_ref, wsg_ref, bsg_ref,
+                            wvd_a_ref, wvd_b_ref, bvd_ref,
+                            wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
+                            sigma_ref, rgb_ref):
+    """Forward kernel with PER-OBJECT latent blocks: zs_ref/zt_ref are
+    (1, n, W) blocks selected by the tile's object index."""
+    sigma, rgb = _field_chain(
+        n_shape, n_tex, dtype, xpe_ref[:], dpe_ref[:],
+        zs_ref[0], zt_ref[0],
+        wxyz_ref, bxyz_ref, wsh_ref, bsh_ref, wes_ref, bes_ref, wsg_ref,
+        bsg_ref, wvd_a_ref, wvd_b_ref, bvd_ref, wtx_ref, btx_ref,
+        wr1_ref, br1_ref, wr2_ref, br2_ref)
+    sigma_ref[:] = sigma
+    rgb_ref[:] = rgb
+
+
+def _field_train_bwd_kernel(n_shape: int, n_tex: int, dtype,
+                            tiles_per_obj: int,
+                            xpe_ref, dpe_ref, zs_ref, zt_ref,
+                            wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                            wes_ref, bes_ref, wsg_ref, bsg_ref,
+                            wvd_a_ref, wvd_b_ref, bvd_ref,
+                            wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
+                            dsig_ref, drgb_ref,
+                            dxpe_ref, ddpe_ref, dzs_ref, dzt_ref,
+                            dwxyz_ref, dbxyz_ref, dwsh_ref, dbsh_ref,
+                            dwes_ref, dbes_ref, dwsg_ref, dbsg_ref,
+                            dwvd_a_ref, dwvd_b_ref, dbvd_ref,
+                            dwtx_ref, dbtx_ref, dwr1_ref, dbr1_ref,
+                            dwr2_ref, dbr2_ref):
+    """Training backward: recompute the forward in-VMEM, then the transposed
+    chain, emitting gradients for EVERYTHING — the positional encodings, the
+    per-object latents (accumulated per object across its tiles), and all
+    decoder weights/biases (accumulated across the whole sequential grid into
+    constant-index output blocks; initialized on the first tile)."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x.astype(dtype), w.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def mm_t(g, w):    # g @ w.T
+        return jax.lax.dot_general(
+            g.astype(dtype), w.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    def mm_xg(x, g):   # x.T @ g  (weight gradient; contract tile rows)
+        return jax.lax.dot_general(
+            x.astype(dtype), g.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def cast(x):
+        return x.astype(f32)
+
+    # ---- forward recompute (keep layer INPUTS for weight grads) -------------
+    xpe = cast(xpe_ref[:])
+    dpe = cast(dpe_ref[:])
+    zs = cast(zs_ref[0])
+    zt = cast(zt_ref[0])
+    y0 = jnp.maximum(mm(xpe, wxyz_ref[:]) + cast(bxyz_ref[:]), 0)
+    a_in = []          # inputs to each shape matmul (y_prev + zs_j)
+    ys = []            # relu outputs (masks)
+    y = y0
+    for j in range(n_shape):
+        a = y + zs[j][None, :]
+        a_in.append(a)
+        y = jnp.maximum(mm(a, wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0)
+        ys.append(y)
+    e = mm(y, wes_ref[:]) + cast(bes_ref[:])
+    sig_gate = jax.nn.sigmoid(mm(e, wsg_ref[:]) + cast(bsg_ref[:]))
+    v = jnp.maximum(mm(e, wvd_a_ref[:]) + mm(dpe, wvd_b_ref[:])
+                    + cast(bvd_ref[:]), 0)
+    b_in = []
+    hs = []
+    h = v
+    for j in range(n_tex):
+        b = h + zt[j][None, :]
+        b_in.append(b)
+        h = jnp.maximum(mm(b, wtx_ref[j]) + cast(btx_ref[j][None, :]), 0)
+        hs.append(h)
+    hh = jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0)
+
+    # ---- transposed chain + weight grads ------------------------------------
+    first = i == 0
+    obj_first = (i % tiles_per_obj) == 0
+
+    def acc(ref, val, init):
+        @pl.when(init)
+        def _():
+            ref[:] = jnp.zeros_like(ref)
+
+        ref[:] += val
+
+    drgb = cast(drgb_ref[:])
+    acc(dwr2_ref, mm_xg(hh, drgb), first)
+    acc(dbr2_ref, jnp.sum(drgb, axis=0)[None], first)
+    g_hh = jnp.where(hh > 0, mm_t(drgb, wr2_ref[:]), 0.0)
+    acc(dwr1_ref, mm_xg(hs[-1] if n_tex else v, g_hh), first)
+    acc(dbr1_ref, jnp.sum(g_hh, axis=0)[None], first)
+    g = mm_t(g_hh, wr1_ref[:])
+    dzt_rows = [None] * n_tex
+    dwtx_rows = [None] * n_tex
+    dbtx_rows = [None] * n_tex
+    for j in reversed(range(n_tex)):
+        g = jnp.where(hs[j] > 0, g, 0.0)
+        dwtx_rows[j] = mm_xg(b_in[j], g)
+        dbtx_rows[j] = jnp.sum(g, axis=0)
+        g = mm_t(g, wtx_ref[j])
+        dzt_rows[j] = jnp.sum(g, axis=0)
+    acc(dwtx_ref, jnp.stack(dwtx_rows), first)
+    acc(dbtx_ref, jnp.stack(dbtx_rows), first)
+    acc(dzt_ref, jnp.stack(dzt_rows)[None], obj_first)
+    g_v = jnp.where(v > 0, g, 0.0)
+    acc(dwvd_b_ref, mm_xg(dpe, g_v), first)
+    acc(dbvd_ref, jnp.sum(g_v, axis=0)[None], first)
+    ddpe_ref[:] = mm_t(g_v, wvd_b_ref[:])
+    g_sig = cast(dsig_ref[:]) * sig_gate
+    acc(dwsg_ref, mm_xg(e, g_sig), first)
+    acc(dbsg_ref, jnp.sum(g_sig, axis=0)[None], first)
+    acc(dwvd_a_ref, mm_xg(e, g_v), first)
+    g_e = mm_t(g_v, wvd_a_ref[:]) + mm_t(g_sig, wsg_ref[:])
+    acc(dwes_ref, mm_xg(ys[-1] if n_shape else y0, g_e), first)
+    acc(dbes_ref, jnp.sum(g_e, axis=0)[None], first)
+    g = mm_t(g_e, wes_ref[:])
+    dzs_rows = [None] * n_shape
+    dwsh_rows = [None] * n_shape
+    dbsh_rows = [None] * n_shape
+    for j in reversed(range(n_shape)):
+        g = jnp.where(ys[j] > 0, g, 0.0)
+        dwsh_rows[j] = mm_xg(a_in[j], g)
+        dbsh_rows[j] = jnp.sum(g, axis=0)
+        g = mm_t(g, wsh_ref[j])
+        dzs_rows[j] = jnp.sum(g, axis=0)
+    acc(dwsh_ref, jnp.stack(dwsh_rows), first)
+    acc(dbsh_ref, jnp.stack(dbsh_rows), first)
+    acc(dzs_ref, jnp.stack(dzs_rows)[None], obj_first)
+    g = jnp.where(y0 > 0, g, 0.0)
+    acc(dwxyz_ref, mm_xg(xpe, g), first)
+    acc(dbxyz_ref, jnp.sum(g, axis=0)[None], first)
+    dxpe_ref[:] = mm_t(g, wxyz_ref[:])
+
+
+def _train_fwd_call(wt, xpe, dpe, zs, zt, *, shape_blocks, texture_blocks,
+                    tile_m, tiles_per_obj, dtype, interpret):
+    M = xpe.shape[0]
+    d_xyz, d_dir = xpe.shape[-1], dpe.shape[-1]
+    tile_spec = lambda d: pl.BlockSpec((tile_m, d), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    obj_spec = lambda n, W: pl.BlockSpec(
+        (1, n, W), lambda i: (i // tiles_per_obj, 0, 0),
+        memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    W = wt[0].shape[1]
+
+    kernel = functools.partial(_field_train_fwd_kernel, shape_blocks,
+                               texture_blocks, dtype)
+    sigma, rgb = pl.pallas_call(
+        kernel,
+        grid=(M // tile_m,),
+        in_specs=[tile_spec(d_xyz), tile_spec(d_dir),
+                  obj_spec(shape_blocks, W), obj_spec(texture_blocks, W)]
+                 + [full()] * 17,
+        out_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xpe, dpe, zs, zt, *wt)
+    return sigma, rgb
+
+
+def _train_bwd_call(wt, xpe, dpe, zs, zt, dsig, drgb, *, shape_blocks,
+                    texture_blocks, tile_m, tiles_per_obj, dtype, interpret):
+    M = xpe.shape[0]
+    B = zs.shape[0]
+    d_xyz, d_dir = xpe.shape[-1], dpe.shape[-1]
+    W = wt[0].shape[1]
+    W2 = wt[13].shape[1]  # rgb hidden width
+
+    tile_spec = lambda d: pl.BlockSpec((tile_m, d), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    obj_spec = lambda n: pl.BlockSpec(
+        (1, n, W), lambda i: (i // tiles_per_obj, 0, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # whole-array output
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_field_train_bwd_kernel, shape_blocks,
+                               texture_blocks, dtype, tiles_per_obj)
+    sds = jax.ShapeDtypeStruct
+    outs = pl.pallas_call(
+        kernel,
+        grid=(M // tile_m,),
+        in_specs=[tile_spec(d_xyz), tile_spec(d_dir),
+                  obj_spec(shape_blocks), obj_spec(texture_blocks)]
+                 + [full()] * 17 + [tile_spec(1), tile_spec(3)],
+        out_specs=[tile_spec(d_xyz), tile_spec(d_dir),
+                   obj_spec(shape_blocks), obj_spec(texture_blocks)]
+                  + [const()] * 17,
+        out_shape=[
+            sds((M, d_xyz), jnp.float32), sds((M, d_dir), jnp.float32),
+            sds((B, shape_blocks, W), jnp.float32),
+            sds((B, texture_blocks, W), jnp.float32),
+            sds((d_xyz, W), jnp.float32), sds((1, W), jnp.float32),
+            sds((shape_blocks, W, W), jnp.float32),
+            sds((shape_blocks, W), jnp.float32),
+            sds((W, W), jnp.float32), sds((1, W), jnp.float32),
+            sds((W, 1), jnp.float32), sds((1, 1), jnp.float32),
+            sds((W, W), jnp.float32), sds((d_dir, W), jnp.float32),
+            sds((1, W), jnp.float32),
+            sds((texture_blocks, W, W), jnp.float32),
+            sds((texture_blocks, W), jnp.float32),
+            sds((W, W2), jnp.float32), sds((1, W2), jnp.float32),
+            sds((W2, 3), jnp.float32), sds((1, 3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xpe, dpe, zs, zt, *wt, dsig, drgb)
+    dxpe, ddpe, dzs, dzt = outs[:4]
+    (dwxyz, dbxyz, dwsh, dbsh, dwes, dbes, dwsg, dbsg,
+     dwvd_a, dwvd_b, dbvd, dwtx, dbtx, dwr1, dbr1, dwr2, dbr2) = outs[4:]
+    dwt = (dwxyz, dbxyz[0], dwsh, dbsh, dwes, dbes[0], dwsg, dbsg[0],
+           dwvd_a, dwvd_b, dbvd[0], dwtx, dbtx, dwr1, dbr1[0], dwr2, dbr2[0])
+    return dxpe, ddpe, dzs, dzt, dwt
+
+
+@functools.lru_cache(maxsize=None)
+def _make_train_field_core(shape_blocks: int, texture_blocks: int,
+                           tile_fwd: int, tile_bwd: int, tiles_fwd: int,
+                           tiles_bwd: int, dtype, interpret: bool):
+    @jax.custom_vjp
+    def core(xpe, dpe, zs, zt, wt):
+        return _train_fwd_call(
+            wt, xpe, dpe, zs, zt, shape_blocks=shape_blocks,
+            texture_blocks=texture_blocks, tile_m=tile_fwd,
+            tiles_per_obj=tiles_fwd, dtype=dtype, interpret=interpret)
+
+    def core_fwd(xpe, dpe, zs, zt, wt):
+        return core(xpe, dpe, zs, zt, wt), (xpe, dpe, zs, zt, wt)
+
+    def core_bwd(res, cts):
+        xpe, dpe, zs, zt, wt = res
+        dsig, drgb = cts
+        dxpe, ddpe, dzs, dzt, dwt = _train_bwd_call(
+            wt, xpe, dpe, zs, zt, dsig, drgb, shape_blocks=shape_blocks,
+            texture_blocks=texture_blocks, tile_m=tile_bwd,
+            tiles_per_obj=tiles_bwd, dtype=dtype, interpret=interpret)
+        return dxpe, ddpe, dzs, dzt, dwt
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def field_train_pallas(packed: dict, xyz, viewdir, shapecodes, texturecodes, *,
+                       shape_blocks: int = 3, texture_blocks: int = 1,
+                       num_xyz_freq: int = 10, num_dir_freq: int = 4,
+                       tile_fwd: int = 1024, tile_bwd: int = 512,
+                       dtype: Any = jnp.bfloat16, interpret: bool = False):
+    """Fused fwd+bwd field for TRAINING: one kernel over the whole
+    (B, R, S) point batch with per-object latents selected by tile, and a
+    backward that also produces all decoder weight/bias gradients (accumulated
+    in-VMEM across the sequential grid — no HBM activation stash, no XLA
+    rematerialization).
+
+    xyz/viewdir: (B, ..., 3); shapecodes/texturecodes: (B, latent).
+    Returns (sigmas (B, ..., 1), rgbs (B, ..., 3)). The per-object point
+    count must be divisible by the tile sizes (tiles are shrunk to fit)."""
+    B = xyz.shape[0]
+    lead_shape = xyz.shape[:-1]
+    per_obj = int(np.prod(xyz.shape[1:-1])) if xyz.ndim > 2 else 1
+    xpe = positional_encoding(xyz.reshape(-1, 3), num_xyz_freq)
+    dpe = positional_encoding(viewdir.reshape(-1, 3), num_dir_freq)
+    zs, zt = conditioned_latents_batched(packed, shapecodes, texturecodes)
+
+    def fit_tile(t):
+        t = min(t, per_obj)
+        while per_obj % t:
+            t //= 2
+        return max(t, 1)
+
+    tf, tb = fit_tile(tile_fwd), fit_tile(tile_bwd)
+    core = _make_train_field_core(
+        shape_blocks, texture_blocks, tf, tb, per_obj // tf, per_obj // tb,
+        dtype, interpret)
+    wt = _precast_weights(flatten_weights(packed), dtype)
+    sigma, rgb = core(xpe, dpe, zs, zt, wt)
     return sigma.reshape(*lead_shape, 1), rgb.reshape(*lead_shape, 3)
 
 

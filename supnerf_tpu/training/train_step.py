@@ -58,6 +58,12 @@ class TrainConfig:
     grad_clip: float = 0.0        # >0 enables global-norm gradient clipping
     lr_schedule_type: str = "step"  # "step" (reference) or "cosine"
     cosine_total_steps: int = 200000
+    field_impl: str = "flax"      # "pallas": the NeRF branch (the step's FLOP
+                                  # bulk, B*1024*64 point evals) runs on the
+                                  # fused fwd+bwd train kernels with in-VMEM
+                                  # weight-grad accumulation (no activation
+                                  # stash / XLA remat); CodeNeRF-style
+                                  # decoders only
 
 
 @struct.dataclass
@@ -174,6 +180,43 @@ def pose_regress_step(model, variables, posecode, src_pose, tgt_uv, wlh, roi, K)
     return loss, pred_pose
 
 
+def _apply_field(model, cfg: TrainConfig, variables, xyz, viewdir,
+                 shapecodes, texturecodes):
+    """The NeRF branch's field evaluation — the step's FLOP bulk
+    (B x 1024 rays x 64 samples). cfg.field_impl='pallas' routes it through
+    the fused fwd+bwd train kernels (ops/pallas_field.field_train_pallas):
+    per-object latent blocks indexed by tile, decoder weight gradients
+    accumulated in VMEM across the sequential grid — no HBM activation stash
+    and no XLA rematerialization of the 9-layer chain."""
+    if cfg.field_impl == "pallas":
+        from supnerf_tpu.ops.pallas_field import (
+            field_train_pallas,
+            pack_decoder_params,
+        )
+
+        dec = variables["params"].get("decoder")
+        if dec is None or "encoding_xyz" not in dec:
+            raise ValueError(
+                "field_impl='pallas' needs a CodeNeRF-style decoder scope")
+        packed = pack_decoder_params(
+            dec, getattr(model, "shape_blocks", 3),
+            getattr(model, "texture_blocks", 1))
+        interp = jax.default_backend() == "cpu"
+        return field_train_pallas(
+            packed, xyz, viewdir, shapecodes, texturecodes,
+            shape_blocks=getattr(model, "shape_blocks", 3),
+            texture_blocks=getattr(model, "texture_blocks", 1),
+            num_xyz_freq=getattr(model, "num_xyz_freq", 10),
+            num_dir_freq=getattr(model, "num_dir_freq", 4),
+            dtype=jnp.float32 if interp else jnp.bfloat16,
+            tile_fwd=64 if interp else 1024,
+            tile_bwd=64 if interp else 512,
+            interpret=interp)
+    return model.apply(variables, xyz, viewdir,
+                       shapecodes[:, None, None, :],
+                       texturecodes[:, None, None, :])
+
+
 def unified_loss(model, params, batch_stats, codes, batch: TrainBatch,
                  cfg: TrainConfig, enc_active, key):
     """Full SUP-NeRF training loss. codes = (shapecode_batch, texturecode_batch)
@@ -229,10 +272,8 @@ def unified_loss(model, params, batch_stats, codes, batch: TrainBatch,
     loss_total += jnp.where(enc_active, cfg.loss_pose_coef * pose_loss, 0.0)
 
     # NeRF branch (reference :120-146)
-    sigmas, rgbs = model.apply(
-        variables, batch.xyz, batch.viewdir,
-        shapecode[:, None, None, :], texturecode[:, None, None, :],
-    )
+    sigmas, rgbs = _apply_field(model, cfg, variables, batch.xyz,
+                                batch.viewdir, shapecode, texturecode)
     rgb_rays, depth_rays, acc_trans = volume_render(
         sigmas, rgbs, batch.z_vals[:, None, :]
     )
@@ -285,10 +326,8 @@ def nerf_only_loss(model, params, batch_stats, codes, batch: TrainBatch,
         losses["loss_code"] = jnp.float32(0.0)
         new_bs = batch_stats
 
-    sigmas, rgbs = model.apply(
-        variables, batch.xyz, batch.viewdir,
-        shapecode[:, None, None, :], texturecode[:, None, None, :],
-    )
+    sigmas, rgbs = _apply_field(model, cfg, variables, batch.xyz,
+                                batch.viewdir, shapecode, texturecode)
     rgb_rays, _, acc_trans = volume_render(sigmas, rgbs, batch.z_vals[:, None, :])
     loss_rgb = rgb_loss_masked(rgb_rays, batch.rgb_tgt, batch.occ_pixels, axis=(-2, -1))
     loss_occ = occupancy_loss(acc_trans, batch.occ_pixels, axis=(-2, -1))

@@ -122,6 +122,18 @@ def test_cross_view_batched_matches_per_cell(tmp_path):
     np.testing.assert_allclose(got, psnr, rtol=2e-4)
 
 
+def test_cross_view_odd_view_count_padding(tmp_path):
+    """3 views pad to the 4-bucket; matrices must slice back to (3, 3) and the
+    padded column must not leak into results."""
+    ds = SynthDataset(3, views_per_ins=3)
+    drv = _driver(tmp_path, ds)
+    drv.run()
+    cross = drv.eval_cross_view()
+    mats = cross["psnr_eval_mat_per_ins"]["ins_0"]
+    assert len(mats) == 6 and mats[0].shape == (3, 3)
+    assert all(np.isfinite(m).all() for m in mats)
+
+
 def test_driver_kitti_frame(tmp_path):
     ds = SynthDataset(2)
     drv = _driver(tmp_path, ds, dataset_frame="kitti")
