@@ -181,13 +181,20 @@ def pose_regress_step(model, variables, posecode, src_pose, tgt_uv, wlh, roi, K)
 
 
 def _apply_field(model, cfg: TrainConfig, variables, xyz, viewdir,
-                 shapecodes, texturecodes):
+                 shapecodes, texturecodes, mesh=None):
     """The NeRF branch's field evaluation — the step's FLOP bulk
     (B x 1024 rays x 64 samples). cfg.field_impl='pallas' routes it through
     the fused fwd+bwd train kernels (ops/pallas_field.field_train_pallas):
     per-object latent blocks indexed by tile, decoder weight gradients
     accumulated in VMEM across the sequential grid — no HBM activation stash
-    and no XLA rematerialization of the 9-layer chain."""
+    and no XLA rematerialization of the 9-layer chain.
+
+    With a mesh, the kernel runs under shard_map over the data axis: XLA's
+    SPMD partitioner cannot split a custom call, so without this it
+    all-gathers the full point batch to every device and runs the kernel
+    replicated (verified in HLO). shard_map keeps each device on its local
+    batch shard; the cotangent of the replicated weights is psum'd by the
+    shard_map transpose — exactly the DP gradient all-reduce."""
     if cfg.field_impl == "pallas":
         from supnerf_tpu.ops.pallas_field import (
             field_train_pallas,
@@ -202,23 +209,39 @@ def _apply_field(model, cfg: TrainConfig, variables, xyz, viewdir,
             dec, getattr(model, "shape_blocks", 3),
             getattr(model, "texture_blocks", 1))
         interp = jax.default_backend() == "cpu"
-        return field_train_pallas(
-            packed, xyz, viewdir, shapecodes, texturecodes,
-            shape_blocks=getattr(model, "shape_blocks", 3),
-            texture_blocks=getattr(model, "texture_blocks", 1),
-            num_xyz_freq=getattr(model, "num_xyz_freq", 10),
-            num_dir_freq=getattr(model, "num_dir_freq", 4),
-            dtype=jnp.float32 if interp else jnp.bfloat16,
-            tile_fwd=64 if interp else 1024,
-            tile_bwd=64 if interp else 512,
-            interpret=interp)
+
+        def run(packed_r, xyz_l, vd_l, sc_l, tc_l):
+            return field_train_pallas(
+                packed_r, xyz_l, vd_l, sc_l, tc_l,
+                shape_blocks=getattr(model, "shape_blocks", 3),
+                texture_blocks=getattr(model, "texture_blocks", 1),
+                num_xyz_freq=getattr(model, "num_xyz_freq", 10),
+                num_dir_freq=getattr(model, "num_dir_freq", 4),
+                dtype=jnp.float32 if interp else jnp.bfloat16,
+                tile_fwd=64 if interp else 1024,
+                tile_bwd=64 if interp else 512,
+                interpret=interp)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from supnerf_tpu.parallel.mesh import DATA_AXIS
+
+            dp = P(DATA_AXIS)
+            return jax.shard_map(
+                run, mesh=mesh,
+                in_specs=(P(), dp, dp, dp, dp),
+                out_specs=(dp, dp),
+                check_vma=False,
+            )(packed, xyz, viewdir, shapecodes, texturecodes)
+        return run(packed, xyz, viewdir, shapecodes, texturecodes)
     return model.apply(variables, xyz, viewdir,
                        shapecodes[:, None, None, :],
                        texturecodes[:, None, None, :])
 
 
 def unified_loss(model, params, batch_stats, codes, batch: TrainBatch,
-                 cfg: TrainConfig, enc_active, key):
+                 cfg: TrainConfig, enc_active, key, mesh=None):
     """Full SUP-NeRF training loss. codes = (shapecode_batch, texturecode_batch)
     gathered rows of the instance tables. Returns (loss_total, aux)."""
     shapecode_tbl, texturecode_tbl = codes
@@ -273,7 +296,8 @@ def unified_loss(model, params, batch_stats, codes, batch: TrainBatch,
 
     # NeRF branch (reference :120-146)
     sigmas, rgbs = _apply_field(model, cfg, variables, batch.xyz,
-                                batch.viewdir, shapecode, texturecode)
+                                batch.viewdir, shapecode, texturecode,
+                                mesh=mesh)
     rgb_rays, depth_rays, acc_trans = volume_render(
         sigmas, rgbs, batch.z_vals[:, None, :]
     )
@@ -300,7 +324,7 @@ def unified_loss(model, params, batch_stats, codes, batch: TrainBatch,
 
 
 def nerf_only_loss(model, params, batch_stats, codes, batch: TrainBatch,
-                   cfg: TrainConfig, enc_active):
+                   cfg: TrainConfig, enc_active, mesh=None):
     """NeRF-only training loss for AutoRF/CodeNeRF baselines (reference
     trainer_nerf_nuscenes.py ParallelModel.forward :18-66): when the encoder
     triggers, its codes REPLACE the table codes (not averaged) and a code-
@@ -327,7 +351,8 @@ def nerf_only_loss(model, params, batch_stats, codes, batch: TrainBatch,
         new_bs = batch_stats
 
     sigmas, rgbs = _apply_field(model, cfg, variables, batch.xyz,
-                                batch.viewdir, shapecode, texturecode)
+                                batch.viewdir, shapecode, texturecode,
+                                mesh=mesh)
     rgb_rays, _, acc_trans = volume_render(sigmas, rgbs, batch.z_vals[:, None, :])
     loss_rgb = rgb_loss_masked(rgb_rays, batch.rgb_tgt, batch.occ_pixels, axis=(-2, -1))
     loss_occ = occupancy_loss(acc_trans, batch.occ_pixels, axis=(-2, -1))
@@ -345,7 +370,7 @@ def nerf_only_loss(model, params, batch_stats, codes, batch: TrainBatch,
 
 
 def make_train_step(model, cfg: TrainConfig, donate: bool = True,
-                    loss_mode: str = "unified"):
+                    loss_mode: str = "unified", mesh=None):
     """Build the jitted train step: (state, batch, key) -> (state, metrics).
 
     Shard the batch's leading axis over the mesh and replicate the state; jit
@@ -363,9 +388,9 @@ def make_train_step(model, cfg: TrainConfig, donate: bool = True,
         def loss_fn(params, code_rows):
             if loss_mode == "unified":
                 return unified_loss(model, params, state.batch_stats, code_rows,
-                                    batch, cfg, enc_active, loss_key)
+                                    batch, cfg, enc_active, loss_key, mesh=mesh)
             return nerf_only_loss(model, params, state.batch_stats, code_rows,
-                                  batch, cfg, enc_active)
+                                  batch, cfg, enc_active, mesh=mesh)
 
         (loss, aux), (g_params, g_codes) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state.params, (sc_rows, tc_rows))

@@ -39,9 +39,11 @@ from supnerf_tpu.training.train_step import (
 
 
 def train_config_from_hpams(hpams: dict, im_enc_rate: float = 1.0,
-                            finetune_wlh: bool = False) -> TrainConfig:
+                            finetune_wlh: bool = False,
+                            field_impl: str = "flax") -> TrainConfig:
     lr = hpams.get("lr_schedule", [{"lr": 1e-4, "interval": 40000}] * 2)
     return TrainConfig(
+        field_impl=field_impl,
         lr_model=lr[0]["lr"],
         lr_codes=lr[1]["lr"],
         lr_interval_model=lr[0]["interval"],
@@ -69,7 +71,8 @@ class UnifiedTrainer:
                  im_enc_rate: float = 1.0, aug_wlh: bool = False,
                  aug_box2d: bool = False, finetune_wlh: bool = False,
                  n_devices: int | None = None, seed: int = 0,
-                 check_iter: int = 1000, log_writer=None):
+                 check_iter: int = 1000, log_writer=None,
+                 field_impl: str = "flax"):
         self.model = model
         self.hpams = hpams
         self.dataset = dataset
@@ -77,7 +80,8 @@ class UnifiedTrainer:
         self.loss_mode = loss_mode
         self.aug_wlh = aug_wlh
         self.aug_box2d = aug_box2d
-        self.cfg = train_config_from_hpams(hpams, im_enc_rate, finetune_wlh)
+        self.cfg = train_config_from_hpams(hpams, im_enc_rate, finetune_wlh,
+                                           field_impl=field_impl)
         self.rng = np.random.default_rng(seed)
         self._base_seed = seed
         self.key = jax.random.PRNGKey(seed)
@@ -115,7 +119,7 @@ class UnifiedTrainer:
         if self.mesh is not None:
             self.state = replicate_pytree(self.state, self.mesh)
         self.step_fn = make_train_step(self.model, self.cfg, donate=False,
-                                       loss_mode=loss_mode)
+                                       loss_mode=loss_mode, mesh=self.mesh)
         self.metrics_history = []
 
     # -- data ----------------------------------------------------------------

@@ -119,3 +119,36 @@ def test_train_step_pallas_field_matches_flax():
     np.testing.assert_allclose(np.asarray(outs["pallas"][0].shape_codes),
                                np.asarray(outs["flax"][0].shape_codes),
                                rtol=5e-3, atol=3e-4)
+
+
+def test_train_step_pallas_field_on_mesh_partitioned():
+    """field_impl='pallas' + mesh: the kernel must run under shard_map on each
+    device's LOCAL batch shard (XLA cannot partition a custom call — without
+    shard_map it all-gathers the full point batch to every device), and the
+    step must match the flax mesh step."""
+    import re
+
+    model = build_model("supnerf", TINY_HP)
+    mesh = make_mesh(8)
+    batch = _make_batch(n=8)
+    outs = {}
+    for impl in ("flax", "pallas"):
+        cfg = TrainConfig(latent_dim=32, field_impl=impl)
+        state = init_train_state(model, jax.random.PRNGKey(0), n_instances=8,
+                                 cfg=cfg, img_size=32)
+        step = make_train_step(model, cfg, donate=False, mesh=mesh)
+        state_r = replicate_pytree(state, mesh)
+        batch_s = shard_pytree_batch(batch, mesh)
+        if impl == "pallas":
+            txt = jax.jit(step).lower(
+                state_r, batch_s, jax.random.PRNGKey(0)).compile().as_text()
+            # 4096 = full 8-object point batch; its presence in an all-gather
+            # means the partitioner replicated the field call
+            assert not [l for l in txt.splitlines()
+                        if "all-gather" in l and re.search(r"= f32\[4096", l)]
+        new_state, metrics = step(state_r, batch_s, jax.random.PRNGKey(0))
+        outs[impl] = (new_state, float(metrics["loss_total"]))
+    np.testing.assert_allclose(outs["pallas"][1], outs["flax"][1], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(outs["flax"][0].params),
+                    jax.tree.leaves(outs["pallas"][0].params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-4)
