@@ -168,28 +168,10 @@ def bench_train():
                              cfg=cfg, img_size=IMG)
     step = make_train_step(model, cfg, donate=False)
 
-    rng = np.random.default_rng(0)
-    eye_pose = np.broadcast_to(
-        np.concatenate([np.eye(3), np.array([[0.0], [0.0], [20.0]])], axis=1),
-        (B, 3, 4)).astype(np.float32)
-    Km = np.broadcast_to(np.array(
-        [[800.0, 0, 640], [0, 800, 360], [0, 0, 1]], np.float32), (B, 3, 3))
-    batch = TrainBatch(
-        img_in=jnp.asarray(rng.uniform(0, 1, (B, IMG, IMG, 3)), jnp.float32),
-        xyz=jnp.asarray(rng.normal(size=(B, R, S, 3)) * 0.3, jnp.float32),
-        viewdir=jnp.asarray(rng.normal(size=(B, R, S, 3)), jnp.float32),
-        z_vals=jnp.sort(jnp.asarray(rng.uniform(10, 30, (B, S)), jnp.float32), axis=-1),
-        rgb_tgt=jnp.asarray(rng.uniform(0, 1, (B, R, 3)), jnp.float32),
-        occ_pixels=jnp.asarray(rng.choice([-1.0, 0.0, 1.0], (B, R, 1)), jnp.float32),
-        src_pose=jnp.asarray(eye_pose),
-        tgt_uv=jnp.asarray(rng.uniform(0, 1000, (B, 2, 8)), jnp.float32),
-        tgt_uv_aug=jnp.asarray(rng.uniform(0, 1000, (B, 2, 8)), jnp.float32),
-        wlh=jnp.asarray(np.tile([1.9, 4.6, 1.7], (B, 1)), jnp.float32),
-        wlh_aug=jnp.asarray(np.tile([1.9, 4.6, 1.7], (B, 1)), jnp.float32),
-        roi=jnp.asarray(np.tile([500.0, 200.0, 700.0, 400.0], (B, 1)), jnp.float32),
-        K=jnp.asarray(Km),
-        code_idx=jnp.arange(B, dtype=jnp.int32),
-    )
+    from supnerf_tpu.data.synthetic import make_random_train_batch
+
+    batch = TrainBatch(**{k: jnp.asarray(v) for k, v in
+                          make_random_train_batch(B, R, S, IMG).items()})
 
     @jax.jit
     def loop(state, batch, key):

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from supnerf_tpu.models import build_model, init_model_variables
 from supnerf_tpu.models.nerf_mlp import positional_encoding
-from supnerf_tpu.ops.pallas_field import make_pallas_field_fn
+from supnerf_tpu.ops.pallas_field import field_forward_pallas, pack_decoder_params
 from supnerf_tpu.ops.volume_render import volume_render
 from supnerf_tpu.render.renderer import render_rays_frustum
 
@@ -50,7 +50,13 @@ sig0 = jax.random.normal(jax.random.PRNGKey(5), (B, R, S))
 rgb0 = jax.random.uniform(jax.random.PRNGKey(6), (B, R, S, 3))
 zv = jnp.broadcast_to(jnp.linspace(14.0, 25.0, S), (B, R, S))
 
-pallas_field = make_pallas_field_fn(variables, dtype=jnp.bfloat16)
+# params are passed as jitted-function ARGUMENTS everywhere below — closing
+# them into a jitted loop would embed them as MLIR constants (see CLAUDE.md)
+packed = pack_decoder_params(variables["params"]["decoder"], 3, 1)
+
+
+def pallas_field(pk, x, v, s, t):
+    return field_forward_pallas(pk, x, v, s, t, dtype=jnp.bfloat16)
 
 
 def timed(name, fn, *args):
@@ -92,17 +98,17 @@ def sample_body(i, keys):
 
 
 # ---- phase: field MLP only --------------------------------------------------
-def field_body_pallas(i, xyz, vd, sc, tc):
+def field_body_pallas(i, pk, xyz, vd, sc, tc):
     def one(x, v, s, t):
-        sg, rg = pallas_field(x + i * 1e-6, v, s, t)
+        sg, rg = pallas_field(pk, x + i * 1e-6, v, s, t)
         return sg.mean() + rg.mean()
 
     return jax.vmap(one)(xyz, vd, sc, tc).mean()
 
 
-def field_body_xla(i, xyz, vd, sc, tc):
+def field_body_xla(i, vars_, xyz, vd, sc, tc):
     def one(x, v, s, t):
-        sg, rg = model.apply(variables, x + i * 1e-6, v, s, t)
+        sg, rg = model.apply(vars_, x + i * 1e-6, v, s, t)
         return sg.mean() + rg.mean()
 
     return jax.vmap(one)(xyz, vd, sc, tc).mean()
@@ -116,11 +122,11 @@ def composite_body(i, sig0, rgb0, zv):
 
 # ---- phase: full render ------------------------------------------------------
 def full_body(field_for):
-    def body(i, keys, sc, tc):
+    def body(i, params, keys, sc, tc):
         def one(key, s, t):
             out = render_rays_frustum(
-                field_for(s, t), jax.random.fold_in(key, i), cam, K, roi, diag,
-                n_samples=S, im_sz=IM_SZ, shapenet_obj_cood=True)
+                field_for(params, s, t), jax.random.fold_in(key, i), cam, K,
+                roi, diag, n_samples=S, im_sz=IM_SZ, shapenet_obj_cood=True)
             return out["rgb"].mean() + out["depth"].mean() + out["acc_trans"].mean()
 
         return jax.vmap(one)(keys, sc, tc).mean()
@@ -134,15 +140,16 @@ for ph in phases:
     if ph == "sample":
         timed("sample+pe", loop(sample_body), keys)
     elif ph == "field_pallas":
-        timed("field pallas", loop(field_body_pallas), xyz, vd, sc, tc)
+        timed("field pallas", loop(field_body_pallas), packed, xyz, vd, sc, tc)
     elif ph == "field_xla":
-        timed("field xla", loop(field_body_xla), xyz, vd, sc, tc)
+        timed("field xla", loop(field_body_xla), variables, xyz, vd, sc, tc)
     elif ph == "composite":
         timed("composite", loop(composite_body), sig0, rgb0, zv)
     elif ph == "full_pallas":
         timed("full pallas", loop(full_body(
-            lambda s, t: (lambda x, v: pallas_field(x, v, s, t)))), keys, sc, tc)
+            lambda pk, s, t: (lambda x, v: pallas_field(pk, x, v, s, t)))),
+            packed, keys, sc, tc)
     elif ph == "full_xla":
         timed("full xla", loop(full_body(
-            lambda s, t: (lambda x, v: model.apply(variables, x, v, s, t)))),
-            keys, sc, tc)
+            lambda vars_, s, t: (lambda x, v: model.apply(vars_, x, v, s, t)))),
+            variables, keys, sc, tc)

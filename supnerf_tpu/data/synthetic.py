@@ -171,3 +171,32 @@ def make_object_batch(n_objects: int, seed: int = 0, **prep_kwargs):
     prepped = [prepare_object_inputs(s, **prep_kwargs) for s in samples]
     batch = {k: np.stack([p[k] for p in prepped]) for k in prepped[0]}
     return batch, samples
+
+
+def make_random_train_batch(B: int, R: int, S: int, img_sz: int, seed: int = 0):
+    """Random TrainBatch-shaped arrays (dict of np arrays keyed like
+    training.TrainBatch) for benchmarks and multi-chip dryruns — shared by
+    bench.py and __graft_entry__ so the fixture cannot drift between them.
+    Not the rendered synthetic dataset; see prepare_train_sample for that."""
+    rng = np.random.default_rng(seed)
+    eye_pose = np.broadcast_to(
+        np.concatenate([np.eye(3), np.array([[0.0], [0.0], [20.0]])], axis=1),
+        (B, 3, 4)).astype(np.float32)
+    K = np.broadcast_to(np.array(
+        [[800.0, 0, 640], [0, 800, 360], [0, 0, 1]], np.float32), (B, 3, 3))
+    return dict(
+        img_in=rng.uniform(0, 1, (B, img_sz, img_sz, 3)).astype(np.float32),
+        xyz=(rng.normal(size=(B, R, S, 3)) * 0.3).astype(np.float32),
+        viewdir=rng.normal(size=(B, R, S, 3)).astype(np.float32),
+        z_vals=np.sort(rng.uniform(10, 30, (B, S)).astype(np.float32), axis=-1),
+        rgb_tgt=rng.uniform(0, 1, (B, R, 3)).astype(np.float32),
+        occ_pixels=rng.choice([-1.0, 0.0, 1.0], (B, R, 1)).astype(np.float32),
+        src_pose=np.ascontiguousarray(eye_pose),
+        tgt_uv=rng.uniform(0, 1000, (B, 2, 8)).astype(np.float32),
+        tgt_uv_aug=rng.uniform(0, 1000, (B, 2, 8)).astype(np.float32),
+        wlh=np.tile(np.float32([1.9, 4.6, 1.7]), (B, 1)),
+        wlh_aug=np.tile(np.float32([1.9, 4.6, 1.7]), (B, 1)),
+        roi=np.tile(np.float32([500.0, 200.0, 700.0, 400.0]), (B, 1)),
+        K=np.ascontiguousarray(K),
+        code_idx=np.arange(B, dtype=np.int32),
+    )

@@ -441,15 +441,22 @@ def _precast_weights(wt: tuple, dtype):
 def _make_field_core(shape_blocks: int, texture_blocks: int, num_xyz_freq: int,
                      num_dir_freq: int, tile_fwd: int, tile_bwd: int, dtype,
                      interpret: bool):
-    """custom_vjp core over (xyz, dd, zs, zt, weights-tuple) -> (sigma, rgb).
-    Cotangents: points + latents real; weights ZERO (frozen decoder)."""
+    """custom_vjp core over (xyz, vd, zs, zt, weights-tuple) -> (sigma, rgb).
+    Cotangents: points + latents real; weights ZERO (frozen decoder).
+
+    The primal computes the positional encodings in XLA (in-kernel PE loses
+    ~35% forward throughput to narrow-lane VPU ops — see VALIDATION.md
+    round-2) and runs the xpe-input kernel; only the raw points are saved as
+    residuals, and the backward kernel recomputes the PE in-VMEM alongside
+    the rest of the chain, emitting dxyz/dvd directly."""
 
     @jax.custom_vjp
     def core(xyz, vd, zs, zt, wt):
-        return _fwd_pallas_call_raw(
-            wt, xyz, vd, zs, zt, shape_blocks=shape_blocks,
-            texture_blocks=texture_blocks, num_xyz_freq=num_xyz_freq,
-            num_dir_freq=num_dir_freq, tile_m=tile_fwd, dtype=dtype,
+        xpe = positional_encoding(xyz, num_xyz_freq)
+        dpe = positional_encoding(vd, num_dir_freq)
+        return _fwd_pallas_call(
+            wt, xpe, dpe, zs, zt, shape_blocks=shape_blocks,
+            texture_blocks=texture_blocks, tile_m=tile_fwd, dtype=dtype,
             interpret=interpret)
 
     def core_fwd(xyz, vd, zs, zt, wt):
@@ -489,6 +496,33 @@ def field_apply_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
     wt = _precast_weights(flatten_weights(packed), dtype)
     sigma, rgb = core(xyz.reshape(-1, 3), viewdir.reshape(-1, 3), zs, zt, wt)
     return sigma.reshape(*lead_shape, 1), rgb.reshape(*lead_shape, 3)
+
+
+def resolve_decoder_kernel_config(model, variables):
+    """Shared gating + packing for the fused-kernel call sites (the TTO core
+    and the train step): validates the decoder scope, packs its params, and
+    returns (packed, kwargs) with the static kernel configuration — blocks,
+    PE degrees, compute dtype, tile sizes, and interpret mode (CPU tests run
+    the kernels in f32 interpret mode; the per-object tile fit for training
+    shrinks tiles further as needed)."""
+    dec = variables["params"].get("decoder")
+    if dec is None or "encoding_xyz" not in dec:
+        raise ValueError(
+            "field_impl='pallas' needs a CodeNeRF-style decoder scope "
+            "(SUPNeRF / AutoRFMix / CodeNeRF)")
+    n_sb = getattr(model, "shape_blocks", 3)
+    n_tb = getattr(model, "texture_blocks", 1)
+    packed = pack_decoder_params(dec, n_sb, n_tb)
+    interp = jax.default_backend() == "cpu"
+    kwargs = dict(
+        shape_blocks=n_sb, texture_blocks=n_tb,
+        num_xyz_freq=getattr(model, "num_xyz_freq", 10),
+        num_dir_freq=getattr(model, "num_dir_freq", 4),
+        dtype=jnp.float32 if interp else jnp.bfloat16,
+        tile_fwd=128 if interp else 1024,
+        tile_bwd=128 if interp else 512,
+        interpret=interp)
+    return packed, kwargs
 
 
 # --------------------------------------------------------------------------

@@ -198,29 +198,14 @@ def _apply_field(model, cfg: TrainConfig, variables, xyz, viewdir,
     if cfg.field_impl == "pallas":
         from supnerf_tpu.ops.pallas_field import (
             field_train_pallas,
-            pack_decoder_params,
+            resolve_decoder_kernel_config,
         )
 
-        dec = variables["params"].get("decoder")
-        if dec is None or "encoding_xyz" not in dec:
-            raise ValueError(
-                "field_impl='pallas' needs a CodeNeRF-style decoder scope")
-        packed = pack_decoder_params(
-            dec, getattr(model, "shape_blocks", 3),
-            getattr(model, "texture_blocks", 1))
-        interp = jax.default_backend() == "cpu"
+        packed, kern_kw = resolve_decoder_kernel_config(model, variables)
 
         def run(packed_r, xyz_l, vd_l, sc_l, tc_l):
-            return field_train_pallas(
-                packed_r, xyz_l, vd_l, sc_l, tc_l,
-                shape_blocks=getattr(model, "shape_blocks", 3),
-                texture_blocks=getattr(model, "texture_blocks", 1),
-                num_xyz_freq=getattr(model, "num_xyz_freq", 10),
-                num_dir_freq=getattr(model, "num_dir_freq", 4),
-                dtype=jnp.float32 if interp else jnp.bfloat16,
-                tile_fwd=64 if interp else 1024,
-                tile_bwd=64 if interp else 512,
-                interpret=interp)
+            return field_train_pallas(packed_r, xyz_l, vd_l, sc_l, tc_l,
+                                      **kern_kw)
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P

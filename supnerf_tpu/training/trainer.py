@@ -95,8 +95,10 @@ class UnifiedTrainer:
         with open(os.path.join(save_dir, "hpam.json"), "w") as f:
             json.dump(hpams_out, f, indent=2)
 
-        self.writer = log_writer
-        if self.writer is None:
+        # log_writer: None -> default tensorboard writer; False -> disabled;
+        # anything else is used as the writer (must have add_scalar/add_image)
+        self.writer = log_writer if log_writer is not False else None
+        if log_writer is None:
             try:
                 from tensorboardX import SummaryWriter
 

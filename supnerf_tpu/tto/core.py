@@ -243,29 +243,16 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     keys = jax.random.split(key, B)
 
     if cfg.field_impl == "pallas":
-        from supnerf_tpu.ops.pallas_field import field_apply_pallas, pack_decoder_params
+        from supnerf_tpu.ops.pallas_field import (
+            field_apply_pallas,
+            resolve_decoder_kernel_config,
+        )
 
-        dec_params = variables["params"].get("decoder")
-        if dec_params is None or "encoding_xyz" not in dec_params:
-            raise ValueError(
-                "field_impl='pallas' needs a CodeNeRF-style decoder scope "
-                "(SUPNeRF / AutoRFMix / CodeNeRF)")
-        n_sb = getattr(model, "shape_blocks", 3)
-        n_tb = getattr(model, "texture_blocks", 1)
-        packed = pack_decoder_params(dec_params, n_sb, n_tb)
-        interp = jax.default_backend() == "cpu"  # CPU tests: interpret mode
+        packed, kern_kw = resolve_decoder_kernel_config(model, variables)
 
         def make_field(sc, tc):
             def f(xyz, vd):
-                return field_apply_pallas(
-                    packed, xyz, vd, sc, tc, shape_blocks=n_sb,
-                    texture_blocks=n_tb,
-                    num_xyz_freq=getattr(model, "num_xyz_freq", 10),
-                    num_dir_freq=getattr(model, "num_dir_freq", 4),
-                    dtype=jnp.float32 if interp else jnp.bfloat16,
-                    tile_fwd=128 if interp else 1024,
-                    tile_bwd=128 if interp else 512,
-                    interpret=interp)
+                return field_apply_pallas(packed, xyz, vd, sc, tc, **kern_kw)
 
             return f
     else:

@@ -525,12 +525,23 @@ class TTODriver:
                      rgb_tgt, occ_tgt, lid_u, lid_v, lid_d, lid_m):
             # sc/tc: (n_code, n_v, latent) saved codes; the rest: (n_v, ...)
             # per-target-view inputs. Rows = source codes, cols = target views.
+            # One dispatch, but the (code, row) axis runs under lax.map so at
+            # most n_v renders are live at once — a full vmap over all
+            # 6*n_v^2 cells would materialize tens of GB of decoder
+            # activations at the published render size.
+            n_code, n_v = sc.shape[0], sc.shape[1]
             view_axes = (None, None, None) + (0,) * 10
             over_cols = jax.vmap(one_cell, in_axes=view_axes)
-            over_rows = jax.vmap(over_cols, in_axes=(None, 0, 0) + (None,) * 10)
-            over_code = jax.vmap(over_rows, in_axes=(None, 0, 0) + (None,) * 10)
-            return over_code(variables, sc, tc, pose_gt, K, roi, wlh,
-                             rgb_tgt, occ_tgt, lid_u, lid_v, lid_d, lid_m)
+
+            def row_fn(codes_one):
+                sc1, tc1 = codes_one
+                return over_cols(variables, sc1, tc1, pose_gt, K, roi, wlh,
+                                 rgb_tgt, occ_tgt, lid_u, lid_v, lid_d, lid_m)
+
+            pm, dm = jax.lax.map(
+                row_fn, (sc.reshape(n_code * n_v, -1),
+                         tc.reshape(n_code * n_v, -1)))
+            return pm.reshape(n_code, n_v, n_v), dm.reshape(n_code, n_v, n_v)
 
         self._cross_jit = jax.jit(matrices)
         return self._cross_jit
