@@ -40,3 +40,27 @@ def test_codenerf_tto():
     # codes start from the mean codes (no encoder)
     np.testing.assert_allclose(np.asarray(res["shapecodes_saved"])[0, 0],
                                np.asarray(mean), atol=1e-6)
+
+
+def test_baselines_tto_pallas_field_matches_flax():
+    """AutoRFMix and CodeNeRF share the CodeNeRF-style 'decoder' scope, so
+    the fused-kernel TTO path must work and match the flax path for them
+    too (the original AutoRF feature-averaging decoder is rejected)."""
+    import dataclasses
+    import pytest
+
+    cfg_p = dataclasses.replace(CFG, field_impl="pallas")
+    for arch, hp in (("autorf", {"shape_blocks": 2, "texture_blocks": 1,
+                                 "latent_dim": 32}),
+                     ("codenerf", {"shape_blocks": 1, "texture_blocks": 1,
+                                   "latent_dim": 32})):
+        model = build_model(arch, hp)
+        variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+        mean = jnp.ones(32) * 0.05
+        res_f = run_tto_batch(model, variables, _batch(), mean, mean,
+                              CFG, jax.random.PRNGKey(0))
+        res_p = run_tto_batch(model, variables, _batch(), mean, mean,
+                              cfg_p, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(res_p["loss"]),
+                                   np.asarray(res_f["loss"]),
+                                   rtol=1e-4, atol=1e-5, err_msg=arch)
