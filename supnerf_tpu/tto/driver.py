@@ -126,9 +126,11 @@ class TTODriver:
         if self.mesh is not None:
             self.variables = replicate_pytree(self.variables, self.mesh)
 
-        # forward-only renders (cross-view eval, vis) can use the fused Pallas
-        # field kernel; the optimization loop itself needs autodiff and stays
-        # on the flax path.
+        # forward-only renders (cross-view eval, vis) use the fused Pallas
+        # forward kernel whenever the optimization loop runs on the fused
+        # kernels (field_impl='pallas'), or when explicitly requested.
+        if self.cfg.field_impl == "pallas" and jax.default_backend() != "cpu":
+            use_pallas = True
         self._pallas_field = None
         if use_pallas:
             from supnerf_tpu.ops.pallas_field import make_pallas_field_fn
