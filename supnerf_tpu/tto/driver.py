@@ -107,7 +107,12 @@ class TTODriver:
         self.init_trans_err = (init_trans_err if init_trans_err is not None
                                else hpams.get("init_trans_err", 0.2))
         self.rand_angle_lim = rand_angle_lim
-        self.key = jax.random.PRNGKey(seed)
+        # independent key streams for host prep (pose-error injection) and the
+        # device TTO runs, so batch i+1's prep can overlap batch i's device
+        # step without perturbing either sequence
+        key = jax.random.PRNGKey(seed)
+        self.key = jax.random.fold_in(key, 1)       # device-run stream
+        self.prep_key = jax.random.fold_in(key, 2)  # host-prep stream
         # host-side generator for mode-1 error injection (sign choices);
         # seeded so the controlled-error protocol is reproducible
         self.np_rng = np.random.default_rng(seed)
@@ -188,7 +193,7 @@ class TTODriver:
         if self.add_pose_err == 3 and "obj_poses_w_err" in sample:
             return np.asarray(sample["obj_poses_w_err"], np.float32)
         # mode 2 (default test protocol): fully random init
-        self.key, k = jax.random.split(self.key)
+        self.prep_key, k = jax.random.split(self.prep_key)
         return np.asarray(pose_gen.get_random_pose2(
             k, jnp.asarray(sample["cam_intrinsics"]),
             jnp.asarray(np.asarray(sample["rois"], np.float32)),
@@ -213,28 +218,45 @@ class TTODriver:
                 obj_pose_kitti2nusc(jnp.asarray(inputs["obj_pose_gt"])[None], h)[0])
         return inputs, sample
 
-    # ------------------------------------------------------------------- run
-    def run(self):
-        n = len(self.dataset)
-        for start in range(0, n, self.batch_size):
-            idxs = list(range(start, min(start + self.batch_size, n)))
-            print(f"num obj: {start}/{n}")
-            self.optimize_object_batch(idxs)
-            if (start // self.batch_size) % max(self.save_freq // self.batch_size, 1) == 0 \
-                    or start + self.batch_size >= n:
-                self.save_results()
-        self.save_results()
-        if hasattr(self, "timer"):
-            print("phase timing:\n" + self.timer.report())
-        return self.results_dict()
-
-    def optimize_object_batch(self, idxs):
+    def _prep_batch(self, idxs):
         from supnerf_tpu.utils.profiling import PhaseTimer
 
         if not hasattr(self, "timer"):
             self.timer = PhaseTimer()
         with self.timer.phase("host_prep"):
-            prepped, samples = zip(*[self._prep_one(i) for i in idxs])
+            return tuple(zip(*[self._prep_one(i) for i in idxs]))
+
+    # ------------------------------------------------------------------- run
+    def run(self):
+        """Optimize the whole dataset in device batches. Host prep for batch
+        i+1 overlaps batch i's device step (one prefetch worker keeps the
+        prep RNG stream sequential; the reference preps serially between
+        per-object GPU loops)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(self.dataset)
+        starts = list(range(0, n, self.batch_size))
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            all_idxs = [list(range(s, min(s + self.batch_size, n)))
+                        for s in starts]
+            fut = ex.submit(self._prep_batch, all_idxs[0]) if starts else None
+            for bi, (start, idxs) in enumerate(zip(starts, all_idxs)):
+                prepped, samples = fut.result()
+                fut = (ex.submit(self._prep_batch, all_idxs[bi + 1])
+                       if bi + 1 < len(starts) else None)
+                print(f"num obj: {start}/{n}")
+                self.optimize_object_batch(idxs, prepped=prepped, samples=samples)
+                if (start // self.batch_size) % max(self.save_freq // self.batch_size, 1) == 0 \
+                        or start + self.batch_size >= n:
+                    self.save_results()
+        self.save_results()
+        if hasattr(self, "timer"):
+            print("phase timing:\n" + self.timer.report())
+        return self.results_dict()
+
+    def optimize_object_batch(self, idxs, prepped=None, samples=None):
+        if prepped is None:
+            prepped, samples = self._prep_batch(idxs)
         B = len(prepped)
         pad = 0
         rows = list(prepped)
