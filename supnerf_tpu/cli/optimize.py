@@ -23,6 +23,36 @@ from supnerf_tpu.cli.common import (
 )
 
 
+def _auto_save_postfix(args, hpams: dict, ds_name: str) -> str:
+    """Protocol-descriptive results-folder postfix, matching the reference's
+    save_postfix construction (optimize_nuscenes.py:89-119 /
+    optimize_kitti.py:71-88): downstream evaluation scripts locate result
+    folders by these names."""
+    post = f"_{'nuscenes' if ds_name == 'nusc' else ds_name}"
+    if args.opt_multiview:
+        post += "_multiview"
+    post += f"_opt_pose_{args.opt_pose}"
+    if args.add_pose_err == 1:
+        rot = args.init_rot_err if args.init_rot_err is not None else 0.0
+        trans = args.init_trans_err if args.init_trans_err is not None else 0.2
+        post += f"_rot_err_{rot}_trans_err_{trans}"
+    elif args.add_pose_err == 2:
+        post += "_poss_err_full"
+    elif args.add_pose_err == 3:
+        post += "_poss_pred_det3d"
+    if hpams.get("arch") == "supnerf":
+        post += f"_reg_iters_{args.reg_iters}"
+    if hpams.get("net_hyperparams", {}).get("pred_wlh", 0) > 0 and args.pred_wlh:
+        post += f"_pred_wlh{args.pred_wlh}"
+    if args.pred_box2d:
+        post += "_pred_box2d"
+    if getattr(args, "nusc_version", None) and "trainval" in args.nusc_version:
+        post += "_full_val"
+    if args.num_subset != 1:
+        post += f"_subset_{args.id_subset}_of_{args.num_subset}"
+    return post
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("supnerf_tpu optimize")
     add_common_args(p)
@@ -40,8 +70,9 @@ def main(argv=None):
         hpams, args.model_epoch, args.seed)
     dataset = build_dataset(hpams, args, split="val")
 
-    save_dir = os.path.join(hpams.get("model_dir", "checkpoints"),
-                            f"test_{ds_name}{args.save_postfix}")
+    save_dir = os.path.join(
+        hpams.get("model_dir", "checkpoints"),
+        f"test{_auto_save_postfix(args, hpams, ds_name)}{args.save_postfix}")
     if args.cross_eval_folder:
         save_dir = args.cross_eval_folder
 

@@ -36,7 +36,9 @@ def test_optimize_cli_on_kitti_fixture(tmp_path, monkeypatch):
     main(["--config_file", str(cfg_path), "--batch_size", "2", "--reg_iters", "1",
           "--add_pose_err", "2"])
 
-    save_dir = tmp_path / "ckpt" / "test_kitti"
+    # the results folder carries the protocol-descriptive postfix the
+    # reference constructs (optimize_kitti.py:71-88)
+    save_dir = tmp_path / "ckpt" / "test_kitti_opt_pose_1_poss_err_full_reg_iters_1"
     assert (save_dir / "codes+poses.pkl").exists()
     assert (save_dir / "eval.pdf").exists()
 
