@@ -52,3 +52,13 @@ def test_optimize_cli_on_kitti_fixture(tmp_path, monkeypatch):
     # poses were converted to the nuScenes frame and optimized
     pose = list(saved["optimized_poses"].values())[0]["CAM2"][-1]
     assert np.isfinite(pose).all()
+
+    # reference folder-convention re-scoring (scripts/eval_saved_result.py)
+    from supnerf_tpu.cli.eval_saved_result import main as eval_main
+
+    eval_main(["--model-folder", str(tmp_path / "ckpt"),
+               "--test-folder", save_dir.name,
+               "--legend-name", "SUPNeRF-KITTI-fixture",
+               "--save-dir", str(tmp_path / "eval_summary"),
+               "--max_iter", "5"])
+    assert (tmp_path / "eval_summary" / "SUPNeRF-KITTI-fixture.pdf").exists()
