@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024
 M = int(os.environ.get("CALIB_POINTS", 32 * 65536))
+assert M % TILE == 0 and M > 0, "CALIB_POINTS must be a positive multiple of 1024"
 N_ITER = int(os.environ.get("CALIB_ITERS", "20"))
 FLOP_PER_POINT = 2 * (63 * 256 + 3 * 256 * 256 + 256 * 256 + 256
                       + 283 * 256 + 256 * 256 + 256 * 128 + 128 * 3)

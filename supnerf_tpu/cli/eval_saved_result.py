@@ -44,7 +44,8 @@ def main(argv=None):
     p.add_argument("--rot_outlier_ignore", action="store_true")
     # reference folder-convention mode
     p.add_argument("--model-folder", dest="model_folder", default=None)
-    p.add_argument("--test-folder", dest="test_folder", default=None)
+    p.add_argument("--test-folder", dest="test_folder",
+                   default="test_nuscenes")
     p.add_argument("--legend-name", dest="legend_name", default=None)
     p.add_argument("--plot-cross-view", dest="plot_cross_view",
                    action="store_true")
@@ -55,7 +56,10 @@ def main(argv=None):
     cross_eval = args.cross_eval
     out = args.out
     if args.model_folder is not None:
-        folder = os.path.join(args.model_folder, args.test_folder or "")
+        if results or args.cross_eval or args.out != "eval.pdf":
+            p.error("--model-folder mode is mutually exclusive with explicit "
+                    "result files / --cross_eval / --out")
+        folder = os.path.join(args.model_folder, args.test_folder)
         path = _find_result(folder, "codes+poses")
         if path is None:
             raise SystemExit(f"no codes+poses result under {folder}")

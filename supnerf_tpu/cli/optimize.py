@@ -33,8 +33,12 @@ def _auto_save_postfix(args, hpams: dict, ds_name: str) -> str:
         post += "_multiview"
     post += f"_opt_pose_{args.opt_pose}"
     if args.add_pose_err == 1:
-        rot = args.init_rot_err if args.init_rot_err is not None else 0.0
-        trans = args.init_trans_err if args.init_trans_err is not None else 0.2
+        # same fallback chain as TTODriver (CLI flag -> config -> default),
+        # so the folder name reports the errors actually injected
+        rot = (args.init_rot_err if args.init_rot_err is not None
+               else hpams.get("init_rot_err", 0.0))
+        trans = (args.init_trans_err if args.init_trans_err is not None
+                 else hpams.get("init_trans_err", 0.2))
         post += f"_rot_err_{rot}_trans_err_{trans}"
     elif args.add_pose_err == 2:
         post += "_poss_err_full"
@@ -46,8 +50,15 @@ def _auto_save_postfix(args, hpams: dict, ds_name: str) -> str:
         post += f"_pred_wlh{args.pred_wlh}"
     if args.pred_box2d:
         post += "_pred_box2d"
-    if getattr(args, "nusc_version", None) and "trainval" in args.nusc_version:
-        post += "_full_val"
+    if ds_name == "nusc":
+        # resolve the effective version the way NuScenesData does
+        # (data/nuscenes.py:95-97), so default-trainval runs are named
+        # '_full_val' like the reference
+        ds_cfg = hpams.get("dataset", {})
+        version = getattr(args, "nusc_version", None) or ds_cfg.get(
+            "test_nusc_version", ds_cfg.get("train_nusc_version", "v1.0-trainval"))
+        if "trainval" in version:
+            post += "_full_val"
     if args.num_subset != 1:
         post += f"_subset_{args.id_subset}_of_{args.num_subset}"
     return post

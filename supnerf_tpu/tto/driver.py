@@ -138,14 +138,26 @@ class TTODriver:
             use_pallas = True
         self._pallas_field = None
         if use_pallas:
-            from supnerf_tpu.ops.pallas_field import make_pallas_field_fn
+            from supnerf_tpu.ops.pallas_field import (
+                field_forward_pallas,
+                resolve_decoder_kernel_config,
+            )
 
-            self._pallas_field = make_pallas_field_fn(
-                self.variables,
-                shape_blocks=getattr(model, "shape_blocks", 3),
-                texture_blocks=getattr(model, "texture_blocks", 1),
-                num_xyz_freq=getattr(model, "num_xyz_freq", 10),
-                num_dir_freq=getattr(model, "num_dir_freq", 4))
+            # shared gating: clear error for non-CodeNeRF-style decoders,
+            # consistent dtype/interpret/block configuration
+            _, kern_kw = resolve_decoder_kernel_config(model, self.variables)
+            fwd_kw = {k: v for k, v in kern_kw.items()
+                      if k not in ("tile_fwd", "tile_bwd")}
+
+            def _pallas_fwd(xyz, vd, sc, tc):
+                from supnerf_tpu.ops.pallas_field import pack_decoder_params
+
+                packed = pack_decoder_params(
+                    self.variables["params"]["decoder"],
+                    kern_kw["shape_blocks"], kern_kw["texture_blocks"])
+                return field_forward_pallas(packed, xyz, vd, sc, tc, **fwd_kw)
+
+            self._pallas_field = _pallas_fwd
 
         self._tto_jit = jax.jit(
             lambda v, b, k: run_tto_batch(self.model, v, b, self.mean_shape,
