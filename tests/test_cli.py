@@ -76,3 +76,36 @@ def test_train_cli_arg_surface():
 
     with _pytest.raises(SystemExit):
         main(["-h"])
+
+
+def test_auto_save_postfix_matches_reference_rules():
+    """Folder naming mirrors the reference save_postfix construction
+    (optimize_nuscenes.py:89-119)."""
+    import argparse
+
+    from supnerf_tpu.cli.optimize import _auto_save_postfix
+
+    def mkargs(**kw):
+        base = dict(opt_multiview=False, opt_pose=1, add_pose_err=2,
+                    init_rot_err=None, init_trans_err=None, reg_iters=3,
+                    pred_wlh=0, pred_box2d=0, nusc_version=None,
+                    num_subset=1, id_subset=0)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    hp = {"arch": "supnerf", "net_hyperparams": {"pred_wlh": 0},
+          "dataset": {"test_nusc_version": "v1.0-mini"}}
+    assert _auto_save_postfix(mkargs(), hp, "nusc") == \
+        "_nuscenes_opt_pose_1_poss_err_full_reg_iters_3"
+    # trainval (resolved from the config) labels _full_val
+    hp_tv = dict(hp, dataset={"test_nusc_version": "v1.0-trainval"})
+    assert _auto_save_postfix(mkargs(), hp_tv, "nusc").endswith("_full_val")
+    # mode-1 uses the config fallback magnitudes
+    hp_err = dict(hp, init_rot_err=0.3)
+    assert "_rot_err_0.3_trans_err_0.2" in _auto_save_postfix(
+        mkargs(add_pose_err=1), hp_err, "nusc")
+    # kitti + subset sharding + pred_box2d
+    post = _auto_save_postfix(
+        mkargs(add_pose_err=3, pred_box2d=1, num_subset=4, id_subset=2),
+        {"arch": "autorfmix", "net_hyperparams": {}}, "kitti")
+    assert post == "_kitti_opt_pose_1_poss_pred_det3d_pred_box2d_subset_2_of_4"
