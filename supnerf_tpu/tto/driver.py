@@ -235,7 +235,12 @@ class TTODriver:
 
         if not hasattr(self, "timer"):
             self.timer = PhaseTimer()
-        with self.timer.phase("host_prep"):
+        # pin the prep math (random pose init, frame conversions — eager jnp)
+        # to the host CPU device: through this environment's TPU tunnel each
+        # eager op costs a ~0.4 s round trip PER OBJECT otherwise, which made
+        # host prep the product-path bottleneck
+        cpu = jax.local_devices(backend="cpu")[0]
+        with self.timer.phase("host_prep"), jax.default_device(cpu):
             return tuple(zip(*[self._prep_one(i) for i in idxs]))
 
     # ------------------------------------------------------------------- run
