@@ -130,7 +130,14 @@ class UnifiedTrainer:
         return s.get("instoken", str(i)) if isinstance(s, dict) else str(i)
 
     def _prepare_row(self, idx: int, salt: int = 0):
-        """Thread-safe: all randomness derives from (seed, salt, idx)."""
+        """Thread-safe: all randomness derives from (seed, salt, idx).
+        Pinned to the host CPU device — the random-pose init is eager jnp,
+        and on the TPU backend every op would be a per-sample device
+        dispatch (~0.4 s through this environment's tunnel)."""
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            return self._prepare_row_on_host(idx, salt)
+
+    def _prepare_row_on_host(self, idx: int, salt: int = 0):
         rng = np.random.default_rng((self._base_seed, salt, int(idx)))
         s = self.dataset[idx]
         if self.aug_box2d:
@@ -182,7 +189,9 @@ class UnifiedTrainer:
     def train(self, epochs: int):
         while self.nepoch < epochs:
             self.training_epoch()
-            save_checkpoint(self.save_dir, jax.tree.map(np.asarray, self.state),
+            # device_get fetches the whole state with async per-leaf copies
+            # (one round-trip latency), not one blocking transfer per leaf
+            save_checkpoint(self.save_dir, jax.device_get(self.state),
                             self.nepoch, self.instoken2idx)
             self.nepoch += 1
         return self.state
@@ -202,11 +211,15 @@ class UnifiedTrainer:
                                   order, self.batch_size, num_workers=num_workers)
         t0 = time.time()
         first_idx = int(order[0]) if len(order) else 0
+        # host-side step counter: int(self.state.niter) per step would be a
+        # blocking device->host transfer (one ~0.4 s tunnel round trip each)
+        niter_host = int(self.state.niter)
         for batch in batcher:
             self.key, k = jax.random.split(self.key)
             self.state, metrics = self.step_fn(self.state, batch, k)
-            self._log(metrics, time.time() - t0)
-            if int(self.state.niter) % self.check_iter == 0:
+            niter_host += 1
+            self._log(metrics, time.time() - t0, niter_host)
+            if niter_host % self.check_iter == 0:
                 self._log_vis(first_idx)
             t0 = time.time()
 
@@ -244,9 +257,13 @@ class UnifiedTrainer:
         except Exception as e:  # visualization must never kill training
             print(f"vis logging failed: {e}")
 
-    def _log(self, metrics, dt):
-        niter = int(self.state.niter)
-        scalars = {k: float(np.asarray(v)) for k, v in metrics.items()}
+    def _log(self, metrics, dt, niter=None):
+        if niter is None:
+            niter = int(self.state.niter)
+        # ONE device->host fetch for all metrics: a per-scalar np.asarray
+        # costs a full tunnel round trip per metric (~12 per step)
+        fetched = jax.device_get(metrics)
+        scalars = {k: float(v) for k, v in fetched.items()}
         scalars["time/train"] = dt
         self.metrics_history.append(scalars)
         if self.writer is not None:
@@ -256,7 +273,7 @@ class UnifiedTrainer:
     # -- checkpoint plumbing --------------------------------------------------
     def resume_from_epoch(self, save_dir: str, epoch: int | None = None):
         self.state, self.nepoch, self.instoken2idx = restore_checkpoint(
-            save_dir, jax.tree.map(np.asarray, self.state), epoch)
+            save_dir, jax.device_get(self.state), epoch)
         self.nepoch += 1
         if self.mesh is not None:
             self.state = replicate_pytree(self.state, self.mesh)
