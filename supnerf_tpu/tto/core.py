@@ -39,7 +39,12 @@ from flax import struct
 
 from supnerf_tpu.geometry.boxes import invert_pose
 from supnerf_tpu.geometry.poses import calc_pose_err
-from supnerf_tpu.geometry.rotations import axis_angle_to_matrix, matrix_to_axis_angle
+from supnerf_tpu.geometry.rotations import (
+    axis_angle_to_matrix,
+    euler_angles_to_matrix,
+    matrix_to_axis_angle,
+    matrix_to_euler_angles,
+)
 from supnerf_tpu.ops.volume_render import (
     masked_psnr,
     occupancy_loss,
@@ -99,6 +104,18 @@ class TTOConfig:
                                     # frustum shell (reference render_rays_v3,
                                     # the demo's rend_aabb=True path)
     adjust_scale: float = 1.0       # field coordinate scale for AABB renders
+    euler_rot: bool = False     # pose vector = intrinsic XYZ Euler angles
+                                # instead of axis-angle (reference hpams
+                                # 'euler_rot': optimizer_nuscenes.py:339,361,
+                                # 1122,1152). The reference only reads it in
+                                # the baseline/multiview loops (the unified
+                                # loop hardcodes axis-angle, :666); here it
+                                # applies uniformly — a documented superset.
+    opt_cam_pose: bool = False  # optimize the CAMERA pose instead of the
+                                # object pose (reference optimize['opt_cam_
+                                # pose']: optimizer_nuscenes.py:290,366,695,
+                                # 1157). Params hold cam2obj; the object pose
+                                # for metrics/snapshots is its inverse.
 
 
 @struct.dataclass
@@ -127,6 +144,35 @@ class TTOParams:
     texturecode: Any
     rot_vec: Any
     trans_vec: Any
+
+
+def pose_param_fns(cfg: TTOConfig):
+    """(params_from_obj_pose, obj_pose_from_params) for the configured pose
+    parameterization: axis-angle vs intrinsic-XYZ Euler (euler_rot) and
+    object-pose vs camera-pose parameters (opt_cam_pose). Both poses are
+    (3, 4); invert_pose is an involution so the cam-pose branch simply maps
+    through the inverse on both sides (reference optimizer_nuscenes.py:
+    339-366 — when opt_cam_pose the params ARE cam2opt; otherwise cam2opt is
+    the transposed/negated object pose)."""
+    if cfg.euler_rot:
+        def rot_to_vec(R):
+            return matrix_to_euler_angles(R, "XYZ")
+
+        def vec_to_rot(v):
+            return euler_angles_to_matrix(v, "XYZ")
+    else:
+        rot_to_vec, vec_to_rot = matrix_to_axis_angle, axis_angle_to_matrix
+
+    def params_from_obj_pose(pose_obj):
+        p = invert_pose(pose_obj) if cfg.opt_cam_pose else pose_obj
+        return rot_to_vec(p[:, :3]), p[:, 3]
+
+    def obj_pose_from_params(rot_vec, trans_vec):
+        pose = jnp.concatenate(
+            [vec_to_rot(rot_vec), trans_vec[:, None]], axis=-1)
+        return invert_pose(pose) if cfg.opt_cam_pose else pose
+
+    return params_from_obj_pose, obj_pose_from_params
 
 
 def _make_optimizer(cfg: TTOConfig):
@@ -259,14 +305,17 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
         def make_field(sc, tc):
             return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
 
+    params_from_obj_pose, obj_pose_from_params = pose_param_fns(cfg)
+
     def optimize_one(sc0, tc0, traj, obj_key, rgb_tgt, occ_tgt, K,
                      roi_nerf, diag, wlh_obj, pose_gt, lid_u, lid_v, lid_d, lid_m):
         refined = traj[-1]
+        rot_vec0, trans_vec0 = params_from_obj_pose(refined)
         params0 = TTOParams(
             shapecode=sc0,
             texturecode=tc0,
-            rot_vec=matrix_to_axis_angle(refined[:, :3]),
-            trans_vec=refined[:, 3],
+            rot_vec=rot_vec0,
+            trans_vec=trans_vec0,
         )
         opt_state0 = tx.init(params0)
 
@@ -275,8 +324,7 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             return jax.checkpoint(f) if cfg.remat_field else f
 
         def pose_from_params(p):
-            R = axis_angle_to_matrix(p.rot_vec)
-            return jnp.concatenate([R, p.trans_vec[:, None]], axis=-1)
+            return obj_pose_from_params(p.rot_vec, p.trans_vec)
 
         def loss_fn(p, pose_override, use_replay, it_key):
             pose_obj = jnp.where(use_replay, pose_override, pose_from_params(p))

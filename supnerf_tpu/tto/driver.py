@@ -63,6 +63,8 @@ def tto_config_from_hpams(hpams: dict, *, reg_iters: int = 3, opt_pose: int = 1,
         box_fac=KITTI_BOX_FAC if (is_kitti_frame and not pred_wlh) else 1.0,
         pred_wlh_mode=pred_wlh,
         field_impl=field_impl,
+        euler_rot=bool(hpams.get("euler_rot", 0)),
+        opt_cam_pose=bool(opt.get("opt_cam_pose", 0)),
     )
 
 
@@ -148,6 +150,9 @@ class TTODriver:
             _, kern_kw = resolve_decoder_kernel_config(model, self.variables)
             fwd_kw = {k: v for k, v in kern_kw.items()
                       if k not in ("tile_fwd", "tile_bwd")}
+            # reused by _field_for_v so every forward call site (cross-view
+            # eval, vis) gets the same gating/dtype/interpret configuration
+            self._fwd_kw = fwd_kw
 
             def _pallas_fwd(xyz, vd, sc, tc):
                 from supnerf_tpu.ops.pallas_field import pack_decoder_params
@@ -431,14 +436,9 @@ class TTODriver:
 
             packed = pack_decoder_params(
                 variables["params"]["decoder"],
-                getattr(self.model, "shape_blocks", 3),
-                getattr(self.model, "texture_blocks", 1))
+                self._fwd_kw["shape_blocks"], self._fwd_kw["texture_blocks"])
             return lambda xyz, vd: field_forward_pallas(
-                packed, xyz, vd, sc, tc,
-                shape_blocks=getattr(self.model, "shape_blocks", 3),
-                texture_blocks=getattr(self.model, "texture_blocks", 1),
-                num_xyz_freq=getattr(self.model, "num_xyz_freq", 10),
-                num_dir_freq=getattr(self.model, "num_dir_freq", 4))
+                packed, xyz, vd, sc, tc, **self._fwd_kw)
         return lambda xyz, vd: self.model.apply(variables, xyz, vd, sc, tc)
 
     def _encode_uv(self, img_in):

@@ -19,7 +19,7 @@ from flax import struct
 from typing import Any
 
 from supnerf_tpu.geometry.boxes import invert_pose
-from supnerf_tpu.geometry.rotations import axis_angle_to_matrix, matrix_to_axis_angle
+from supnerf_tpu.tto.core import pose_param_fns
 from supnerf_tpu.ops.volume_render import (
     masked_psnr,
     occupancy_loss,
@@ -68,8 +68,10 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
     sc0 = (jnp.sum(sc_enc * w, 0) / jnp.maximum(w.sum(), 1) + mean_shape) / 2
     tc0 = (jnp.sum(tc_enc * w, 0) / jnp.maximum(w.sum(), 1) + mean_texture) / 2
 
-    rot0 = jax.vmap(lambda p: matrix_to_axis_angle(p[:, :3]))(batch.pose_init)
-    trans0 = batch.pose_init[:, :, 3]
+    # per-view pose parameterization honors cfg.euler_rot / cfg.opt_cam_pose
+    # (reference optimizer_nuscenes.py:1072,1122,1152,1157)
+    params_from_obj_pose, obj_pose_from_params = pose_param_fns(cfg)
+    rot0, trans0 = jax.vmap(params_from_obj_pose)(batch.pose_init)
     params0 = {"shape": sc0, "texture": tc0, "rot": rot0, "trans": trans0}
     if slack_tex:
         params0["tex_res"] = jnp.zeros((V,) + tc0.shape)
@@ -95,8 +97,7 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
     obj_diag = jnp.linalg.norm(batch.wlh, axis=-1)
 
     def view_loss(p, v, it_key):
-        pose = jnp.concatenate(
-            [axis_angle_to_matrix(p["rot"][v]), p["trans"][v][:, None]], axis=-1)
+        pose = obj_pose_from_params(p["rot"][v], p["trans"][v])
         cam = invert_pose(pose)
         tex = p["texture"] + p["tex_res"][v] if slack_tex else p["texture"]
         if opt_model:
@@ -145,9 +146,8 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
                          curves["shape"][save_idx])
     tc_saved = jnp.where(is_final[:, None], params_f["texture"][None],
                          curves["texture"][save_idx])
-    final_poses = jax.vmap(
-        lambda r, t: jnp.concatenate([axis_angle_to_matrix(r), t[:, None]], -1)
-    )(params_f["rot"], params_f["trans"])
+    final_poses = jax.vmap(obj_pose_from_params)(
+        params_f["rot"], params_f["trans"])
     return {
         "shapecodes_saved": sc_saved,
         "texturecodes_saved": tc_saved,

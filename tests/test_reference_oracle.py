@@ -231,3 +231,118 @@ def test_refiner_normalization_vs_reference_chain():
     np.testing.assert_allclose(float(dim_got), dim, rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(uv_norm).reshape(2, 8), uv_norm_expect, atol=1e-4)
+
+
+# ------------------------------------------------------------ ImgEncoder ----
+def _extract_reference_class(filename, classname, namespace):
+    """AST-extract a top-level class from a reference source file and exec it
+    in `namespace` (for modules whose imports are unavailable)."""
+    src = open(os.path.join(REF, filename)).read()
+    tree = ast.parse(src)
+    node = next(n for n in tree.body
+                if isinstance(n, ast.ClassDef) and n.name == classname)
+    code = ast.get_source_segment(src, node)
+    exec(compile(code, f"{filename}:{classname}", "exec"), namespace)
+    return namespace[classname]
+
+
+def _torchvision_resnet_primitives():
+    """Plain-torch reconstructions of the torchvision resnet primitives the
+    reference ImgEncoder imports (torchvision is absent from this image).
+    Standard definitions; attribute names (conv1/bn1/conv2/bn2/downsample)
+    match torchvision so state_dict keys are identical."""
+    import torch.nn as nn
+
+    def conv3x3(in_planes, out_planes, stride=1, groups=1, dilation=1):
+        return nn.Conv2d(in_planes, out_planes, kernel_size=3, stride=stride,
+                         padding=dilation, groups=groups, bias=False,
+                         dilation=dilation)
+
+    def conv1x1(in_planes, out_planes, stride=1):
+        return nn.Conv2d(in_planes, out_planes, kernel_size=1, stride=stride,
+                         bias=False)
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1, norm_layer=None):
+            super().__init__()
+            if norm_layer is None:
+                norm_layer = nn.BatchNorm2d
+            self.conv1 = conv3x3(inplanes, planes, stride)
+            self.bn1 = norm_layer(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = conv3x3(planes, planes)
+            self.bn2 = norm_layer(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    return BasicBlock, conv1x1, conv3x3
+
+
+@pytest.mark.parametrize("pred_wlh", [False, True])
+def test_img_encoder_vs_reference_torch_module(pred_wlh):
+    """Identical weights -> identical shape/texture/pose codes + uv (+ wlh)
+    between the reference's OWN ImgEncoder (model_supnerf.py:17-152, extracted
+    with reconstructed torchvision primitives) and the flax encoder loaded
+    through torch_import.import_encoder — with BatchNorm normalizing by BATCH
+    statistics (the reference never calls .eval(); survey 'hard parts' (a)).
+
+    This is the checkpoint-import contract for the 48M-param encoder: any
+    head/layer mapping mix-up, conv/BN transpose error, or BN-semantics drift
+    fails here."""
+    import math
+    from typing import Any, Callable, List, Optional, Type, Union
+
+    import torch.nn as nn
+
+    from supnerf_tpu.models.encoder import ImgEncoder as FlaxImgEncoder
+    from supnerf_tpu.models.torch_import import import_encoder
+
+    BasicBlock, conv1x1, conv3x3 = _torchvision_resnet_primitives()
+    ns = {"torch": torch, "nn": nn, "math": math, "Type": Type, "Any": Any,
+          "Callable": Callable, "Union": Union, "List": List,
+          "Optional": Optional, "BasicBlock": BasicBlock, "Bottleneck": None,
+          "conv1x1": conv1x1, "conv3x3": conv3x3}
+    RefImgEncoder = _extract_reference_class("model_supnerf.py", "ImgEncoder", ns)
+
+    layers, latent = (3, 4, 6, 3), 256
+    torch.manual_seed(0)
+    ref = RefImgEncoder(BasicBlock, list(layers), num_classes=latent,
+                        pred_wlh=pred_wlh)
+    ref.train()  # batch-stats BN, matching the reference's usage
+
+    img = np.random.default_rng(0).normal(
+        size=(2, 3, 128, 128)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(img), pose_shortcut=True)
+    if pred_wlh:
+        shape_t, tex_t, pose_t, uv_t, wlh_t = [o.numpy() for o in out_t]
+    else:
+        shape_t, tex_t, pose_t, uv_t = [o.numpy() for o in out_t]
+
+    sd = {"img_encoder." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params, stats = import_encoder(sd, pred_wlh=pred_wlh, layers=layers)
+    flax_enc = FlaxImgEncoder(latent_dim=latent, layers=layers,
+                              pred_wlh=pred_wlh, pose_shortcut=True)
+    out_j = flax_enc.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(img.transpose(0, 2, 3, 1)), True,
+        mutable=["batch_stats"])[0]
+
+    np.testing.assert_allclose(np.asarray(out_j["shape"]), shape_t, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_j["texture"]), tex_t, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_j["pose"]), pose_t, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_j["uv"]), uv_t, atol=2e-3)
+    if pred_wlh:
+        np.testing.assert_allclose(np.asarray(out_j["wlh"]), wlh_t, atol=2e-3)

@@ -164,3 +164,68 @@ def test_field_impl_pallas_matches_flax():
                                np.asarray(res_f["final_pose"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res_p["final_shapecode"]),
                                np.asarray(res_f["final_shapecode"]), atol=1e-4)
+
+
+def test_euler_rot_parameterization():
+    """euler_rot=True (reference hpams['euler_rot'],
+    optimizer_nuscenes.py:339,361): iter-0 metrics are identical to the
+    axis-angle run (same initial pose, replayed), later iterations stay
+    finite and the parameterizations genuinely differ."""
+    model, variables, batch = _tiny_setup()
+    res_aa = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                           TINY_CFG, jax.random.PRNGKey(0))
+    cfg_eu = dataclasses.replace(TINY_CFG, euler_rot=True)
+    res_eu = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                           cfg_eu, jax.random.PRNGKey(0))
+    # identical up through the replay iterations (pose comes from the refiner
+    # trajectory, not the params) and at the first optimized render
+    np.testing.assert_allclose(np.asarray(res_eu["psnr"][:, :3]),
+                               np.asarray(res_aa["psnr"][:, :3]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_eu["rot_err"][:, 0]),
+                               np.asarray(res_aa["rot_err"][:, 0]), atol=1e-4)
+    for k in ("psnr", "rot_err", "trans_err", "final_pose"):
+        assert np.isfinite(np.asarray(res_eu[k])).all()
+
+
+def test_opt_cam_pose_parameterization():
+    """opt_cam_pose=True (reference optimize['opt_cam_pose'],
+    optimizer_nuscenes.py:290,366,695): the optimization variables hold the
+    camera pose; reported object poses/metrics still refer to the object
+    frame (identical at iter 0, finite throughout)."""
+    model, variables, batch = _tiny_setup()
+    res_obj = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                            TINY_CFG, jax.random.PRNGKey(0))
+    cfg_cam = dataclasses.replace(TINY_CFG, opt_cam_pose=True)
+    res_cam = run_tto_batch(model, variables, batch, jnp.zeros(32), jnp.zeros(32),
+                            cfg_cam, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(res_cam["rot_err"][:, 0]),
+                               np.asarray(res_obj["rot_err"][:, 0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_cam["trans_err"][:, 0]),
+                               np.asarray(res_obj["trans_err"][:, 0]), atol=1e-4)
+    for k in ("psnr", "rot_err", "trans_err", "final_pose"):
+        assert np.isfinite(np.asarray(res_cam[k])).all()
+    # snapshots report OBJECT poses in both modes: iter-0 snapshot equals the
+    # refined pose regardless of the parameter frame
+    np.testing.assert_allclose(np.asarray(res_cam["poses_saved"][:, 0]),
+                               np.asarray(res_obj["poses_saved"][:, 0]),
+                               atol=1e-4)
+
+
+def test_pose_param_fns_roundtrip():
+    import itertools
+
+    from scipy.spatial.transform import Rotation
+
+    from supnerf_tpu.tto.core import pose_param_fns
+
+    rng = np.random.default_rng(11)
+    Rm = Rotation.from_rotvec(rng.normal(size=3) * 0.6).as_matrix()
+    pose = jnp.asarray(np.concatenate(
+        [Rm, [[1.0], [0.5], [15.0]]], axis=1).astype(np.float32))
+    for euler, cam in itertools.product([False, True], repeat=2):
+        cfg = dataclasses.replace(TINY_CFG, euler_rot=euler, opt_cam_pose=cam)
+        to_params, from_params = pose_param_fns(cfg)
+        r, t = to_params(pose)
+        back = from_params(r, t)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(pose),
+                                   atol=1e-5, err_msg=f"euler={euler} cam={cam}")
