@@ -78,6 +78,17 @@ def conditioned_latents(packed: dict, shapecode, texturecode):
     return zs, zt
 
 
+def _check_block_counts(zs, zt, shape_blocks: int, texture_blocks: int):
+    """Static sanity check: the packed params' block counts must match the
+    kernel's static configuration — an out-of-range block index inside the
+    kernel CLAMPS silently (wrong values, no error) instead of raising."""
+    if zs.shape[-2] != shape_blocks or zt.shape[-2] != texture_blocks:
+        raise ValueError(
+            f"packed decoder has {zs.shape[-2]} shape / {zt.shape[-2]} texture "
+            f"blocks but the kernel was configured for {shape_blocks}/"
+            f"{texture_blocks} — pass matching shape_blocks/texture_blocks")
+
+
 def _pe_rank2(x, degree: int):
     """In-kernel positional encoding, rank-2 only (Mosaic-friendly):
     [x, sin(2^i x)..., cos(2^i x)...] with the (freq-major, coord-minor)
@@ -86,12 +97,16 @@ def _pe_rank2(x, degree: int):
     return jnp.concatenate([x, jnp.sin(xx), jnp.cos(xx)], axis=1)
 
 
-def _field_chain(n_shape: int, n_tex: int, dtype, xpe, dpe, zs_ref, zt_ref,
-                 wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
-                 wes_ref, bes_ref, wsg_ref, bsg_ref,
-                 wvd_a_ref, wvd_b_ref, bvd_ref,
-                 wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref):
-    """The fused decoder chain on in-VMEM values xpe/dpe -> (sigma, rgb)."""
+def _field_chain_to_heads(n_shape: int, n_tex: int, dtype, xpe, dpe,
+                          zs_ref, zt_ref,
+                          wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                          wes_ref, bes_ref, wsg_ref, bsg_ref,
+                          wvd_a_ref, wvd_b_ref, bvd_ref,
+                          wtx_ref, btx_ref, wr1_ref, br1_ref):
+    """The fused decoder chain up to the heads: (sigma (m, 1), hh (m, W2))
+    with hh the rgb-hidden activation — callers apply their own rgb head
+    (plain (W2, 3) in _field_chain; 128-wide padded payload in the fused
+    render kernel, ops/pallas_render.py)."""
     f32 = jnp.float32
     # Mosaic requires 32-bit matmul accumulation. Activations are STORED in
     # f32 between layers: bf16 storage was measured ~20% slower on v5e (the
@@ -122,7 +137,25 @@ def _field_chain(n_shape: int, n_tex: int, dtype, xpe, dpe, zs_ref, zt_ref,
         h = h + cast(zt_ref[j][None, :])
         h = jnp.maximum(mm(h, wtx_ref[j]) + cast(btx_ref[j][None, :]), 0)
     hh = jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0)
-    rgb = mm(hh, wr2_ref[:], out=f32) + br2_ref[:]
+    return sigma, hh
+
+
+def _field_chain(n_shape: int, n_tex: int, dtype, xpe, dpe, zs_ref, zt_ref,
+                 wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+                 wes_ref, bes_ref, wsg_ref, bsg_ref,
+                 wvd_a_ref, wvd_b_ref, bvd_ref,
+                 wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref):
+    """The fused decoder chain on in-VMEM values xpe/dpe -> (sigma, rgb)."""
+    f32 = jnp.float32
+    sigma, hh = _field_chain_to_heads(
+        n_shape, n_tex, dtype, xpe, dpe, zs_ref, zt_ref,
+        wxyz_ref, bxyz_ref, wsh_ref, bsh_ref, wes_ref, bes_ref, wsg_ref,
+        bsg_ref, wvd_a_ref, wvd_b_ref, bvd_ref, wtx_ref, btx_ref,
+        wr1_ref, br1_ref)
+    rgb = jax.lax.dot_general(
+        hh.astype(dtype), wr2_ref[:].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + br2_ref[:]
     return sigma, rgb
 
 
@@ -185,8 +218,15 @@ def flatten_weights(packed: dict):
 def _fwd_pallas_call(wt: tuple, xpe, dpe, zs, zt, *, shape_blocks: int,
                      texture_blocks: int, tile_m: int, dtype, interpret: bool):
     """Run the forward kernel over unpadded (M, d) encodings; returns
-    (sigma (M, 1), rgb (M, 3)) in float32."""
+    (sigma (M, 1), rgb (M, 3)) in float32.
+
+    The encodings are streamed to the kernel in the COMPUTE dtype: the kernel
+    casts matmul operands to `dtype` anyway, so pre-casting in XLA is
+    bit-identical and halves the PE's HBM write+read traffic in bf16 (the
+    dominant off-chip stream of the forward path: ~180 B/point vs ~360)."""
     M = xpe.shape[0]
+    xpe = xpe.astype(dtype)
+    dpe = dpe.astype(dtype)
     pad = (-M) % tile_m
     if pad:
         xpe = jnp.pad(xpe, ((0, pad), (0, 0)))
@@ -270,6 +310,7 @@ def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
     """
     lead_shape = xyz.shape[:-1]
     zs, zt = conditioned_latents(packed, shapecode, texturecode)
+    _check_block_counts(zs, zt, shape_blocks, texture_blocks)
     wt = _precast_weights(flatten_weights(packed), dtype)
     if pe_in_kernel:
         sigma, rgb = _fwd_pallas_call_raw(
@@ -483,14 +524,17 @@ def field_apply_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
                        dtype: Any = jnp.bfloat16, interpret: bool = False):
     """Differentiable fused field for the TTO hot loop.
 
-    Both kernels compute the positional encodings in-kernel from raw points
-    (the backward applies the PE chain rule directly), so gradients flow to
-    xyz/viewdir (-> pose) and to shapecode/texturecode (through the
-    conditioned latent projections). Decoder weights receive ZERO cotangent —
+    The forward computes the positional encodings in XLA and runs the
+    xpe-input kernel (see _make_field_core); only the BACKWARD kernel
+    recomputes the PE in-VMEM from the raw-point residuals and applies the PE
+    chain rule, so gradients flow to xyz/viewdir (-> pose) and to
+    shapecode/texturecode (through the conditioned latent projections) with
+    no HBM activation stash. Decoder weights receive ZERO cotangent —
     use only where the decoder is frozen (test-time optimization; reference
     optimizer_nuscenes.py:1762 optimizes codes+pose only)."""
     lead_shape = xyz.shape[:-1]
     zs, zt = conditioned_latents(packed, shapecode, texturecode)
+    _check_block_counts(zs, zt, shape_blocks, texture_blocks)
     core = _make_field_core(shape_blocks, texture_blocks, num_xyz_freq,
                             num_dir_freq, tile_fwd, tile_bwd, dtype, interpret)
     wt = _precast_weights(flatten_weights(packed), dtype)
@@ -512,6 +556,13 @@ def resolve_decoder_kernel_config(model, variables):
             "(SUPNeRF / AutoRFMix / CodeNeRF)")
     n_sb = getattr(model, "shape_blocks", 3)
     n_tb = getattr(model, "texture_blocks", 1)
+    if n_sb < 1 or n_tb < 1:
+        # the backward kernels jnp.stack per-block gradient rows, which is
+        # undefined for zero blocks (and (0, W, W) output blocks would be
+        # invalid anyway) — reject here rather than failing at trace time
+        raise ValueError(
+            f"field_impl='pallas' requires shape_blocks >= 1 and "
+            f"texture_blocks >= 1 (got {n_sb}/{n_tb})")
     packed = pack_decoder_params(dec, n_sb, n_tb)
     interp = jax.default_backend() == "cpu"
     kwargs = dict(
@@ -646,7 +697,7 @@ def _field_train_bwd_kernel(n_shape: int, n_tex: int, dtype,
     acc(dwr2_ref, mm_xg(hh, drgb), first)
     acc(dbr2_ref, jnp.sum(drgb, axis=0)[None], first)
     g_hh = jnp.where(hh > 0, mm_t(drgb, wr2_ref[:]), 0.0)
-    acc(dwr1_ref, mm_xg(hs[-1] if n_tex else v, g_hh), first)
+    acc(dwr1_ref, mm_xg(hs[-1], g_hh), first)
     acc(dbr1_ref, jnp.sum(g_hh, axis=0)[None], first)
     g = mm_t(g_hh, wr1_ref[:])
     dzt_rows = [None] * n_tex
@@ -670,7 +721,7 @@ def _field_train_bwd_kernel(n_shape: int, n_tex: int, dtype,
     acc(dbsg_ref, jnp.sum(g_sig, axis=0)[None], first)
     acc(dwvd_a_ref, mm_xg(e, g_v), first)
     g_e = mm_t(g_v, wvd_a_ref[:]) + mm_t(g_sig, wsg_ref[:])
-    acc(dwes_ref, mm_xg(ys[-1] if n_shape else y0, g_e), first)
+    acc(dwes_ref, mm_xg(ys[-1], g_e), first)
     acc(dbes_ref, jnp.sum(g_e, axis=0)[None], first)
     g = mm_t(g_e, wes_ref[:])
     dzs_rows = [None] * n_shape
@@ -825,6 +876,7 @@ def field_train_pallas(packed: dict, xyz, viewdir, shapecodes, texturecodes, *,
     xpe = positional_encoding(xyz.reshape(-1, 3), num_xyz_freq)
     dpe = positional_encoding(viewdir.reshape(-1, 3), num_dir_freq)
     zs, zt = conditioned_latents_batched(packed, shapecodes, texturecodes)
+    _check_block_counts(zs, zt, shape_blocks, texture_blocks)
 
     def fit_tile(t):
         t = min(t, per_obj)

@@ -1,0 +1,295 @@
+"""Fused Pallas forward RENDER kernel: conditioned field + volume compositing.
+
+One kernel evaluates the whole per-ray pipeline for the frustum render path —
+positional-encoded points through the 9-layer conditioned MLP
+(ops/pallas_field._field_chain) AND the alpha-compositing reduction
+(reference /root/reference/src/renderer.py:355-379 volume_rendering3 /
+src/utils.py:187-234 semantics, same numerical contract as
+ops/volume_render.composite_weights) — emitting (rgb, depth, acc_trans) PER
+RAY instead of (sigma, rgb) per point. Writeback shrinks from ~1 KB/ray to a
+(TILE_R, 128) block (~32 B/ray) and the XLA-side compositing pass disappears.
+
+Applicability / contracts:
+  - FORWARD ONLY. The transmittance uses an exclusive cumsum of log(trans)
+    via a triangular matmul; that formulation's reverse-mode is the known
+    NaN trap documented in ops/volume_render (1e10 last delta -> trans
+    saturates at 1e-10 and 1/trans overflows), which is irrelevant here
+    because this kernel defines no VJP — differentiable call sites must use
+    field_apply_pallas + ops.volume_render. Forward log/exp is safe:
+    trans >= 1e-10 so log is finite, and exp underflow to 0 is exact.
+  - z_vals are SHARED across rays (the reference's sample_from_rays
+    distribution, utils.py:154-167), so deltas/z enter as (1, S) constants.
+  - Rays missing this contract (per-ray z like the AABB path) keep the
+    unfused path.
+
+Kernel layout (per grid step, TILE_R rays x S samples = m rows):
+  - the MLP runs point-major (m, K) as in pallas_field (MXU-shaped);
+  - sigma (m, 1) is reshaped once to ray-major (TILE_R, S) where all
+    compositing elementwise work is 1-2 VPU instructions per op;
+  - the exclusive-cumprod transmittance is exp((log trans) @ U) with U the
+    (S, S) strictly-upper-triangular ones matrix (one small MXU op);
+  - per-ray weighted sums use a block-diagonal weights matrix W_seg
+    (TILE_R, m) built by lane-tiling w and masking, so rgb/depth/acc land in
+    one (TILE_R, 128) output block without narrow-lane reductions:
+      out = W_seg @ rgb_pad + depth @ e3 + acc @ e4 (+ white-bg @ e012).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from supnerf_tpu.models.nerf_mlp import positional_encoding
+from supnerf_tpu.ops.pallas_field import (
+    _check_block_counts,
+    _field_chain_to_heads,
+    _precast_weights,
+    conditioned_latents,
+    flatten_weights,
+)
+
+_EPS_TRANS = 1e-10
+_LAST_DELTA = 1e10
+
+
+def _split_pe_chain_to_heads(n_shape: int, n_tex: int, dtype,
+                             xyz, vd, zs_ref, zt_ref,
+                             w0_ref, ws_ref, wc_ref, bxyz_ref,
+                             wsh_ref, bsh_ref, wes_ref, bes_ref,
+                             wsg_ref, bsg_ref, wvd_a_ref,
+                             v0_ref, vs_ref, vc_ref, bvd_ref,
+                             wtx_ref, btx_ref, wr1_ref, br1_ref,
+                             fx_ref, fd_ref):
+    """The decoder chain with IN-KERNEL positional encoding via split
+    first-layer matmuls: xpe @ Wxyz == x @ W0 + sin(xx) @ Ws + cos(xx) @ Wc
+    with xx = x @ Fx (the per-coordinate frequency ladder as one small f32
+    matmul), and likewise for the viewdir contribution dpe @ Wvd_b. No
+    concatenations and no narrow-lane constructions ever materialize the
+    (m, 63)/(m, 27) encodings — the round-2 in-kernel-PE attempts lost ~35%
+    to exactly those relayouts (VALIDATION.md round-2). xx/sin/cos stay f32
+    (PE arguments reach hundreds of radians; bf16 would destroy the high
+    frequencies), matching the XLA path where sin/cos are computed in f32
+    and only the RESULT is cast to the matmul dtype."""
+    f32 = jnp.float32
+    act = f32
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x.astype(dtype), w.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def mmf32(x, w):
+        return jax.lax.dot_general(
+            x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    def cast(x):
+        return x.astype(act)
+
+    xx = mmf32(xyz, fx_ref[:])
+    y = jnp.maximum(
+        mm(xyz, w0_ref[:]) + mm(jnp.sin(xx), ws_ref[:])
+        + mm(jnp.cos(xx), wc_ref[:]) + cast(bxyz_ref[:]), 0)
+    for j in range(n_shape):
+        y = y + cast(zs_ref[j][None, :])
+        y = jnp.maximum(mm(y, wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0)
+    y = mm(y, wes_ref[:]) + cast(bes_ref[:])
+    sigma = jax.nn.softplus(mm(y, wsg_ref[:]) + bsg_ref[:])
+    dd = mmf32(vd, fd_ref[:])
+    h = (mm(y, wvd_a_ref[:]) + mm(vd, v0_ref[:]) + mm(jnp.sin(dd), vs_ref[:])
+         + mm(jnp.cos(dd), vc_ref[:]) + cast(bvd_ref[:]))
+    h = jnp.maximum(h, 0)
+    for j in range(n_tex):
+        h = h + cast(zt_ref[j][None, :])
+        h = jnp.maximum(mm(h, wtx_ref[j]) + cast(btx_ref[j][None, :]), 0)
+    hh = jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0)
+    return sigma, hh
+
+
+def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
+                   dtype, white_bkgd: bool, pe_in_kernel: bool,
+                   *refs):
+    f32 = jnp.float32
+    S = n_samples
+    if pe_in_kernel:
+        (xyz_ref, vd_ref, zs_ref, zt_ref,
+         w0_ref, ws_ref, wc_ref, bxyz_ref, wsh_ref, bsh_ref,
+         wes_ref, bes_ref, wsg_ref, bsg_ref,
+         wvd_a_ref, v0_ref, vs_ref, vc_ref, bvd_ref,
+         wtx_ref, btx_ref, wr1_ref, br1_ref, wr2p_ref, br2p_ref,
+         fx_ref, fd_ref,
+         z_row_ref, delta_ref, u_ref, seg_mask_ref, eh_ref, out_ref) = refs
+        sigma, hh = _split_pe_chain_to_heads(
+            n_shape, n_tex, dtype, xyz_ref[:], vd_ref[:], zs_ref, zt_ref,
+            w0_ref, ws_ref, wc_ref, bxyz_ref, wsh_ref, bsh_ref,
+            wes_ref, bes_ref, wsg_ref, bsg_ref, wvd_a_ref,
+            v0_ref, vs_ref, vc_ref, bvd_ref, wtx_ref, btx_ref,
+            wr1_ref, br1_ref, fx_ref, fd_ref)
+    else:
+        (xpe_ref, dpe_ref, zs_ref, zt_ref,
+         wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+         wes_ref, bes_ref, wsg_ref, bsg_ref,
+         wvd_a_ref, wvd_b_ref, bvd_ref,
+         wtx_ref, btx_ref, wr1_ref, br1_ref, wr2p_ref, br2p_ref,
+         z_row_ref, delta_ref, u_ref, seg_mask_ref, eh_ref, out_ref) = refs
+        sigma, hh = _field_chain_to_heads(
+            n_shape, n_tex, dtype, xpe_ref[:], dpe_ref[:], zs_ref, zt_ref,
+            wxyz_ref, bxyz_ref, wsh_ref, bsh_ref, wes_ref, bes_ref, wsg_ref,
+            bsg_ref, wvd_a_ref, wvd_b_ref, bvd_ref, wtx_ref, btx_ref,
+            wr1_ref, br1_ref)
+    # rgb head into a 128-wide padded payload (cols 0..2 = rgb, rest zero)
+    rgb_pad = jax.lax.dot_general(
+        hh.astype(dtype), wr2p_ref[:].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32) + br2p_ref[:]
+
+    # ---- compositing in ray-major (TILE_R, S) ------------------------------
+    sig_m = sigma.reshape(tile_r, S)
+    alpha = 1.0 - jnp.exp(-jnp.maximum(sig_m, 0.0) * delta_ref[:])
+    # NOT (1 - alpha) + eps directly: XLA constant-reassociates it into
+    # (1 + eps) - alpha == 1 - alpha in f32, so fully-opaque samples would
+    # yield trans == 0 exactly and log -> -inf -> 0 * -inf = NaN in the
+    # triangular matmul. The interposed max blocks that folding while leaving
+    # the value bit-identical to the reference's 1 - alpha + 1e-10
+    # (1 - alpha >= 0 always, so the max is an identity).
+    trans = jnp.maximum(1.0 - alpha, 0.0) + _EPS_TRANS
+    # exclusive cumprod along samples: T = exp(log(trans) @ U), U strictly
+    # upper triangular ones (T_i = prod_{j<i} trans_j). f32 MXU: tiny op.
+    log_t = jnp.log(trans)
+    t_excl = jnp.exp(jax.lax.dot_general(
+        log_t, u_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32))
+    w = alpha * t_excl                                   # (TILE_R, S)
+    depth = jnp.sum(w * z_row_ref[:], axis=1, keepdims=True)   # (TILE_R, 1)
+    acc = t_excl[:, S - 1:S]                                   # (TILE_R, 1)
+
+    # ---- per-ray weighted rgb via block-diagonal weights matmul ------------
+    w_tiled = jnp.concatenate([w] * tile_r, axis=1)      # (TILE_R, m)
+    w_seg = w_tiled * seg_mask_ref[:]
+    out = jax.lax.dot_general(
+        w_seg, rgb_pad, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    out = out + jax.lax.dot_general(
+        depth, eh_ref[0:1], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    out = out + jax.lax.dot_general(
+        acc, eh_ref[1:2], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    if white_bkgd:
+        pix_alpha = jnp.sum(w, axis=1, keepdims=True)
+        out = out + jax.lax.dot_general(
+            1.0 - pix_alpha, eh_ref[2:3],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+    out_ref[:] = out
+
+
+def _freq_ladder(degree: int):
+    """(3, 3*degree) selector F with F[c, i*3 + c] = 2^i, so x @ F equals the
+    freq-major concat([x * 2^i for i]) layout of positional_encoding."""
+    f = np.zeros((3, 3 * degree), np.float32)
+    for i in range(degree):
+        for c in range(3):
+            f[c, i * 3 + c] = 2.0 ** i
+    return jnp.asarray(f)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "shape_blocks", "texture_blocks", "num_xyz_freq", "num_dir_freq",
+    "tile_m", "dtype", "interpret", "white_bkgd", "pe_in_kernel"))
+def field_composite_pallas(packed: dict, xyz, viewdir, z_vals, shapecode,
+                           texturecode, *, shape_blocks: int = 3,
+                           texture_blocks: int = 1, num_xyz_freq: int = 10,
+                           num_dir_freq: int = 4, tile_m: int = 1024,
+                           dtype: Any = jnp.bfloat16, interpret: bool = False,
+                           white_bkgd: bool = False, pe_in_kernel: bool = True):
+    """Fused field+composite forward render for one object.
+
+    xyz/viewdir: (R, S, 3); z_vals: (S,) shared across rays;
+    shapecode/texturecode: (latent,).
+    Returns (rgb (R, 3), depth (R,), acc_trans (R,)) in float32, matching
+    ops.volume_render.volume_render over the unfused field to f32/bf16
+    accumulation tolerance.
+
+    pe_in_kernel=True streams RAW f32 points (24 B/point) and computes the
+    positional encoding inside the kernel via split first-layer matmuls (see
+    _split_pe_chain_to_heads) — the XLA-side PE compute+materialization is
+    the dominant non-kernel cost of the forward path (round-3 profile:
+    hoisting it moves the path from 0.78 to 0.95 of the shape ceiling).
+    False streams precomputed encodings cast to the compute dtype.
+    """
+    R, S = xyz.shape[0], xyz.shape[1]
+    zs, zt = conditioned_latents(packed, shapecode, texturecode)
+    _check_block_counts(zs, zt, shape_blocks, texture_blocks)
+    wt = _precast_weights(flatten_weights(packed), dtype)
+    # pad the rgb head to a 128-wide payload
+    wr2, br2 = wt[15], wt[16]
+    w2 = wr2.shape[0]
+    wr2p = jnp.zeros((w2, 128), wr2.dtype).at[:, :3].set(wr2)
+    br2p = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(br2)
+
+    tile_r = max(tile_m // S, 1)
+    m = tile_r * S
+    pad_r = (-R) % tile_r
+    if pad_r:
+        xyz = jnp.pad(xyz, ((0, pad_r), (0, 0), (0, 0)))
+        viewdir = jnp.pad(viewdir, ((0, pad_r), (0, 0), (0, 0)))
+    Rp = R + pad_r
+
+    if pe_in_kernel:
+        lx, ld = num_xyz_freq, num_dir_freq
+        wxyz = wt[0]
+        wvd_b = wt[9]
+        operands = (
+            xyz.reshape(-1, 3).astype(jnp.float32),
+            viewdir.reshape(-1, 3).astype(jnp.float32),
+            zs, zt,
+            wxyz[0:3], wxyz[3:3 + 3 * lx], wxyz[3 + 3 * lx:],  # W0/Ws/Wc
+            wt[1], wt[2], wt[3], wt[4], wt[5], wt[6], wt[7], wt[8],
+            wvd_b[0:3], wvd_b[3:3 + 3 * ld], wvd_b[3 + 3 * ld:],  # V0/Vs/Vc
+            wt[10], wt[11], wt[12], wt[13], wt[14], wr2p, br2p,
+            _freq_ladder(lx), _freq_ladder(ld),
+        )
+        lead_specs = [3, 3]
+    else:
+        xpe = positional_encoding(xyz.reshape(-1, 3), num_xyz_freq).astype(dtype)
+        dpe = positional_encoding(viewdir.reshape(-1, 3), num_dir_freq).astype(dtype)
+        operands = (xpe, dpe, zs, zt) + wt[:15] + (wr2p, br2p)
+        lead_specs = [xpe.shape[-1], dpe.shape[-1]]
+
+    z_vals = jnp.asarray(z_vals, jnp.float32)
+    deltas = jnp.concatenate(
+        [z_vals[1:] - z_vals[:-1], jnp.full((1,), _LAST_DELTA, jnp.float32)])
+    z_row = z_vals[None, :]                       # (1, S)
+    delta_row = deltas[None, :]                   # (1, S)
+    u_mat = jnp.triu(jnp.ones((S, S), jnp.float32), k=1)
+    seg_mask = jnp.asarray(
+        np.repeat(np.eye(tile_r, dtype=np.float32), S, axis=1))  # (TILE_R, m)
+    eh = jnp.zeros((3, 128), jnp.float32)
+    eh = eh.at[0, 3].set(1.0).at[1, 4].set(1.0).at[2, :3].set(1.0)
+    operands = operands + (z_row, delta_row, u_mat, seg_mask, eh)
+
+    grid = (Rp // tile_r,)
+    tile_spec = lambda d: pl.BlockSpec((m, d), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_render_kernel, shape_blocks, texture_blocks,
+                               S, tile_r, dtype, white_bkgd, pe_in_kernel)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tile_spec(lead_specs[0]), tile_spec(lead_specs[1])]
+                 + [full()] * (len(operands) - 2),
+        out_specs=pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+    return out[:R, 0:3], out[:R, 3], out[:R, 4]
