@@ -84,6 +84,11 @@ def add_optimize_args(p: argparse.ArgumentParser):
     p.add_argument("--save_freq", type=int, default=100)
     p.add_argument("--dataset", type=str, default=None,
                    help="override dataset: nusc | kitti | waymo | synthetic")
+    p.add_argument("--num-samples2eval", dest="num_samples2eval", type=int,
+                   default=None,
+                   help="evaluate only the first N objects for a quicker "
+                        "test (reference optimize_kitti.py:44, applied as an "
+                        "early break in optimizer_kitti.py:617-624)")
     p.add_argument("--num_objects", type=int, default=32,
                    help="synthetic dataset size")
     p.add_argument("--field_impl", type=str, default="flax",
@@ -205,6 +210,25 @@ def build_dataset(hpams: dict, args, split: str = "val"):
                 return self.base[self.idx[i]]
 
         ds = _Subset(ds, idx)
+
+    # eval-subset truncation (reference --num_samples2eval,
+    # optimizer_kitti.py:617-624: stop after the first N objects)
+    n_eval = getattr(args, "num_samples2eval", None)
+    if n_eval is not None and split != "train":
+
+        class _Head:
+            def __init__(self, base, n):
+                self.base, self.n = base, min(n, len(base))
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                if i >= self.n:
+                    raise IndexError(i)
+                return self.base[i]
+
+        ds = _Head(ds, n_eval)
     return ds
 
 

@@ -103,7 +103,9 @@ class WaymoToKITTI:
 
     def __init__(self, load_dir: str, save_dir: str, prefix: str = "",
                  workers: int = 8, test_mode: bool = False):
-        _require_waymo()
+        # waymo_open_dataset/tensorflow are only required by the TFRecord
+        # entry points (convert/convert_one); the per-frame writers consume
+        # duck-typed frame protos and run without them (tested with fakes)
         self.load_dir = load_dir
         self.save_dir = os.path.join(save_dir, "training")
         self.prefix = prefix
@@ -117,11 +119,13 @@ class WaymoToKITTI:
             os.makedirs(os.path.join(self.save_dir, d), exist_ok=True)
 
     def convert(self):
+        _require_waymo()
         with Pool(self.workers) as pool:
             pool.map(self.convert_one, range(len(self.tfrecord_pathnames)))
 
     # -- per-segment ----------------------------------------------------------
     def convert_one(self, file_idx: int):
+        _require_waymo()
         import tensorflow as tf
         from waymo_open_dataset import dataset_pb2
 
@@ -131,23 +135,31 @@ class WaymoToKITTI:
             frame = dataset_pb2.Frame()
             frame.ParseFromString(bytearray(data.numpy()))
             stem = f"{self.prefix}{file_idx:03d}{frame_idx:03d}"
-            self.save_image(frame, stem)
-            self.save_calib(frame, stem)
+            self.convert_frame(frame, stem)
+
+    def convert_frame(self, frame, stem: str, with_lidar: bool = True):
+        """Write all KITTI-format files for one frame. Everything except
+        save_lidar consumes duck-typed proto attributes and runs without
+        waymo_open_dataset (with_lidar=False in environments/tests without
+        it — save_lidar needs frame_utils range-image decoding)."""
+        self.save_image(frame, stem)
+        self.save_calib(frame, stem)
+        if with_lidar:
             self.save_lidar(frame, stem)
-            self.save_pose(frame, stem)
-            if not self.test_mode:
-                self.save_label(frame, stem)
+        self.save_pose(frame, stem)
+        if not self.test_mode:
+            self.save_label(frame, stem)
 
     def save_image(self, frame, stem: str):
-        import tensorflow as tf
+        import io
+
+        from PIL import Image
 
         for img in frame.images:
             if img.name != _T_FRONT_CAM:
                 continue
-            decoded = tf.image.decode_jpeg(img.image).numpy()
-            from PIL import Image
-
-            Image.fromarray(decoded).save(
+            # PIL decodes the JPEG bytes directly — no tensorflow dependency
+            Image.open(io.BytesIO(img.image)).save(
                 os.path.join(self.save_dir, "image", stem + ".png"))
 
     def save_calib(self, frame, stem: str):
@@ -190,14 +202,10 @@ class WaymoToKITTI:
     def save_label(self, frame, stem: str):
         """Project waymo 3D labels to the front camera in KITTI label format
         (reference converter.py:345-519): type trunc occl alpha box2d hwl t ry."""
-        from waymo_open_dataset import label_pb2
-
-        type_map = {
-            label_pb2.Label.TYPE_VEHICLE: "Car",
-            label_pb2.Label.TYPE_PEDESTRIAN: "Pedestrian",
-            label_pb2.Label.TYPE_CYCLIST: "Cyclist",
-            label_pb2.Label.TYPE_SIGN: "Sign",
-        }
+        # waymo label_pb2.Label.Type enum values (stable proto constants:
+        # UNKNOWN=0, VEHICLE=1, PEDESTRIAN=2, SIGN=3, CYCLIST=4) — inlined so
+        # the label writer runs without waymo_open_dataset installed
+        type_map = {1: "Car", 2: "Pedestrian", 4: "Cyclist", 3: "Sign"}
         # front-cam projected boxes by object id
         proj_boxes = {}
         for labels in frame.projected_lidar_labels:
@@ -235,12 +243,60 @@ class WaymoToKITTI:
             f.write("\n".join(lines) + "\n")
 
 
-def setup_split(data_dir: str, split_name: str = "val", every_n: int = 1):
-    """Write <data_dir>/<split_name>.txt listing converted frame stems
-    (reference setup_split.py); every_n subsamples for val_small."""
+def write_split_from_images(data_dir: str, split_name: str = "val",
+                            every_n: int = 1):
+    """Write <data_dir>/<split_name>.txt listing converted frame stems;
+    every_n subsamples for val_small (the val/val_small.txt files the repo
+    ships, reference data/Waymo/{val,val_small}.txt)."""
     img_dir = os.path.join(data_dir, "training", "image")
     stems = sorted(os.path.splitext(f)[0] for f in os.listdir(img_dir))
     stems = stems[::every_n]
     with open(os.path.join(data_dir, f"{split_name}.txt"), "w") as f:
         f.write("\n".join(stems) + "\n")
     return stems
+
+
+def setup_split(data_dir: str, org_dir: str, split_list_file: str,
+                out_split_file: str, *, symlink: bool = True,
+                org_subdirs=("calib", "image_0", "label_0", "velodyne"),
+                out_subdirs=("calib", "image", "label", "velodyne"),
+                exts=(".txt", ".png", ".txt", ".bin")):
+    """Renumber per-segment KITTI-format files into the flat training layout
+    (reference data/Waymo/setup_split.py): read 'seg frame_id' lines from
+    split_list_file, link (or copy) each segment's calib/image/label/velodyne
+    files into <data_dir>/training/<out_subdir>/<new_id><ext> with sequential
+    6-digit ids, and write the new ids to out_split_file. Entries whose
+    calib/label/image are missing are skipped but still CONSUME an id
+    (the reference increments imind on the missing branch too,
+    setup_split.py:163-166). Returns the list of linked new ids."""
+    out_dirs = [os.path.join(data_dir, "training", d) for d in out_subdirs]
+    for d in out_dirs:
+        os.makedirs(d, exist_ok=True)
+    with open(split_list_file) as f:
+        entries = [ln.strip().split() for ln in f if ln.strip()]
+
+    import shutil
+
+    linked = []
+    with open(out_split_file, "w") as out:
+        for imind, (seg, fid) in enumerate(entries):
+            new_id = f"{imind:06d}"
+            src = [os.path.join(org_dir, seg, sd, fid + ext)
+                   for sd, ext in zip(org_subdirs, exts)]
+            # presence gate mirrors the reference: calib + image + label
+            required = [s for s, sd in zip(src, org_subdirs)
+                        if sd in ("calib", "image_0", "label_0")]
+            if not all(os.path.exists(p) for p in required):
+                print(f"{seg}/{fid} not found ...")
+                continue
+            for s, d, ext in zip(src, out_dirs, exts):
+                dst = os.path.join(d, new_id + ext)
+                if os.path.exists(dst) or not os.path.exists(s):
+                    continue
+                if symlink:
+                    os.symlink(s, dst)
+                else:
+                    shutil.copy(s, dst)
+            out.write(new_id + "\n")
+            linked.append(new_id)
+    return linked

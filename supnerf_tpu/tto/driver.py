@@ -272,6 +272,10 @@ class TTODriver:
                         or start + self.batch_size >= n:
                     self.save_results()
         self.save_results()
+        # reference-format twin so reference tooling can re-score these
+        # results (one-way read of reference .pth already exists in
+        # eval/aggregate.py; this closes the loop in the other direction)
+        self.save_results_pth()
         if hasattr(self, "timer"):
             print("phase timing:\n" + self.timer.report())
         return self.results_dict()
@@ -475,6 +479,43 @@ class TTODriver:
     def save_results(self, name: str = "codes+poses.pkl"):
         with open(os.path.join(self.save_dir, name), "wb") as f:
             pickle.dump(self.results_dict(), f)
+
+    def save_results_pth(self, name: str = "codes+poses.pth"):
+        """Write the results in the REFERENCE's torch format so its tooling
+        (scripts/eval_saved_result.py -> utils.collect_eval_results,
+        /root/reference/src/utils.py:786-988) can re-score this framework's
+        outputs directly. Container types match what that reader requires:
+        codes/poses as torch tensors, psnr/depth curves as plain float lists,
+        R_eval/T_eval as LISTS OF 0-d TENSORS (the reader torch.stack's them;
+        reference save shape at optimizer_nuscenes.py:1464-1477)."""
+        import torch
+
+        def t(x):
+            return torch.from_numpy(np.asarray(x, np.float32))
+
+        saved = {
+            "num_obj": len(self.psnr_eval),
+            "optimized_shapecodes": {
+                a: {c: t(v) for c, v in cams.items()}
+                for a, cams in self.optimized_shapecodes.items()},
+            "optimized_texturecodes": {
+                a: {c: t(v) for c, v in cams.items()}
+                for a, cams in self.optimized_texturecodes.items()},
+            "optimized_poses": {
+                a: {c: t(v) for c, v in cams.items()}
+                for a, cams in self.optimized_poses.items()},
+            "psnr_eval": {k: [float(x) for x in v]
+                          for k, v in self.psnr_eval.items()},
+            "ssim_eval": dict(self.ssim_eval),
+            "depth_err_mean": {k: [float(x) for x in v]
+                               for k, v in self.depth_err_mean.items()},
+            "lidar_pts_cnt": dict(self.lidar_pts_cnt),
+            "R_eval": {k: [torch.tensor(float(x)) for x in v]
+                       for k, v in self.R_eval.items()},
+            "T_eval": {k: [torch.tensor(float(x)) for x in v]
+                       for k, v in self.T_eval.items()},
+        }
+        torch.save(saved, os.path.join(self.save_dir, name))
 
     def run_multiview(self, v_max: int = 4, opt_pose: bool = False,
                       opt_model: bool = False, slack_tex: bool | None = None):

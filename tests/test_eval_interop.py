@@ -31,3 +31,56 @@ def test_load_reference_style_pth(tmp_path):
     assert agg["psnr"].shape == (100,)
     assert np.isfinite(agg["rot_err_deg"]).all()
     assert np.isfinite(agg["depth_err"]).all()
+
+
+def test_write_reference_format_pth_roundtrip(tmp_path):
+    """Two-way interop: TTODriver.save_results_pth writes a .pth that (a) the
+    reference reader's container expectations accept (torch.stack over R_eval
+    lists, np.array over psnr lists — utils.py:798-868) and (b) round-trips
+    through this framework's own loader to identical aggregates."""
+    import jax
+    import jax.numpy as jnp
+
+    from supnerf_tpu.models import build_model, init_model_variables
+    from supnerf_tpu.tto.driver import TTODriver
+    from tests.test_tto_driver import SynthDataset
+
+    hp = {"arch": "supnerf",
+          "net_hyperparams": {"shape_blocks": 1, "texture_blocks": 1,
+                              "latent_dim": 32, "pose_shortcut": 1,
+                              "pred_wlh": 0},
+          "n_samples": 8, "render_im_sz": 8, "in_img_sz": 32, "roi_margin": 5,
+          "loss_occ_coef": 0.1, "shapenet_obj_cood": 1, "sym_aug": 0,
+          "optimize": {"num_opts": 4, "lr_shape": 0.02, "lr_texture": 0.02,
+                       "lr_pose": 0.01, "lr_half_interval": 1000}}
+    model = build_model("supnerf", hp["net_hyperparams"])
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+    ds = SynthDataset(2)
+    drv = TTODriver(model, variables, jnp.zeros(32), jnp.zeros(32), hp, ds,
+                    str(tmp_path), batch_size=2, reg_iters=1, add_pose_err=2)
+    drv.run()
+
+    assert (tmp_path / "codes+poses.pth").exists()
+    saved = torch.load(str(tmp_path / "codes+poses.pth"), map_location="cpu",
+                       weights_only=False)
+    # reference reader's exact access patterns (collect_eval_results)
+    for key, R_err in saved["R_eval"].items():
+        stacked = torch.stack(R_err).numpy()
+        assert stacked.shape == (4,)
+    for psnr in saved["psnr_eval"].values():
+        assert np.asarray(psnr).shape == (4,)
+    ann = next(iter(saved["optimized_shapecodes"]))
+    cam = next(iter(saved["optimized_shapecodes"][ann]))
+    assert isinstance(saved["optimized_shapecodes"][ann][cam], torch.Tensor)
+    assert saved["optimized_poses"][ann][cam].shape[-2:] == (3, 4)
+
+    # round-trip: both files aggregate identically through our own loader
+    agg_pkl = aggregate_metrics(load_result_file(str(tmp_path / "codes+poses.pkl")),
+                                max_iter=4)
+    agg_pth = aggregate_metrics(load_result_file(str(tmp_path / "codes+poses.pth")),
+                                max_iter=4)
+    np.testing.assert_allclose(agg_pth["psnr"], agg_pkl["psnr"], atol=1e-5)
+    np.testing.assert_allclose(agg_pth["rot_err_deg"], agg_pkl["rot_err_deg"],
+                               atol=1e-4)
+    np.testing.assert_allclose(agg_pth["depth_err"], agg_pkl["depth_err"],
+                               atol=1e-5)

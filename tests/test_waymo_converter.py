@@ -131,3 +131,133 @@ def test_tr_matches_kitti_calibration_reader(tmp_path):
     calib = Calibration(str(f))
     np.testing.assert_allclose(calib.V2C, Tr, rtol=1e-6)
     np.testing.assert_allclose(calib.P, P2, rtol=1e-6)
+
+
+# ---------------------------------------------------------- frame path ------
+class _NS:
+    """Tiny attribute bag for fake waymo protos."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _fake_frame():
+    """A duck-typed waymo Frame covering the non-lidar writers
+    (reference data/Waymo/converter.py:119-266 consumes exactly these
+    attributes)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.linspace(0, 255, 8 * 12 * 3).reshape(8, 12, 3)).astype(np.uint8)
+    ).save(buf, format="JPEG")
+
+    # front cam extrinsic: camera 2 m forward, 1.5 m up in the vehicle frame
+    extrinsic = np.eye(4)
+    extrinsic[:3, 3] = [2.0, 0.0, 1.5]
+    calib = _NS(name=1, extrinsic=_NS(transform=list(extrinsic.reshape(-1))),
+                intrinsic=[2000.0, 2010.0, 960.0, 640.0, 0, 0, 0, 0, 0])
+
+    box3d = _NS(center_x=10.0, center_y=-1.0, center_z=1.0,
+                length=4.5, width=1.9, height=1.6, heading=0.3)
+    laser_label = _NS(id="obj1", type=1, box=box3d)          # TYPE_VEHICLE
+    ped_label = _NS(id="obj2", type=2,                        # no projection
+                    box=_NS(center_x=5.0, center_y=3.0, center_z=1.0,
+                            length=0.8, width=0.8, height=1.8, heading=0.0))
+    proj_box = _NS(center_x=600.0, center_y=400.0, length=120.0, width=80.0)
+    proj = _NS(name=1, labels=[_NS(id="obj1_FRONT", box=proj_box)])
+
+    pose = np.eye(4)
+    pose[:3, 3] = [100.0, 50.0, 0.0]
+    return _NS(images=[_NS(name=1, image=buf.getvalue())],
+               context=_NS(camera_calibrations=[calib]),
+               projected_lidar_labels=[proj],
+               laser_labels=[laser_label, ped_label],
+               pose=_NS(transform=list(pose.reshape(-1))))
+
+
+def test_convert_frame_writers_with_fake_frame(tmp_path):
+    """convert_frame (minus lidar) runs on a duck-typed frame and the outputs
+    parse through the KITTI-format readers with the expected math."""
+    import numpy as np
+
+    from supnerf_tpu.data.kitti_format import Calibration, read_label
+    from supnerf_tpu.data.waymo_converter import (
+        WaymoToKITTI,
+        front_calib_matrices,
+        label_box_to_kitti,
+    )
+
+    (tmp_path / "raw").mkdir()
+    conv = WaymoToKITTI(str(tmp_path / "raw"), str(tmp_path / "out"))
+    frame = _fake_frame()
+    conv.convert_frame(frame, "000000", with_lidar=False)
+
+    out = tmp_path / "out" / "training"
+    assert (out / "image" / "000000.png").exists()
+    assert (out / "pose" / "000000.txt").exists()
+
+    # calib parses and matches the pure-math golden
+    cal = Calibration(str(out / "calib" / "000000.txt"))
+    extrinsic = np.array(frame.context.camera_calibrations[0].extrinsic.transform).reshape(4, 4)
+    P2, _, Tr = front_calib_matrices(extrinsic, frame.context.camera_calibrations[0].intrinsic)
+    np.testing.assert_allclose(cal.P, P2, rtol=1e-6)
+    np.testing.assert_allclose(cal.V2C, Tr, rtol=1e-6)
+
+    # label: only the projected vehicle makes it through, fields match
+    objs = read_label(str(out / "label" / "000000.txt"))
+    assert len(objs) == 1 and objs[0].type == "Car"
+    center, ry, alpha = label_box_to_kitti(
+        (10.0, -1.0, 1.0), 1.6, 0.3, Tr)
+    np.testing.assert_allclose(objs[0].t, center, atol=5e-3)
+    np.testing.assert_allclose(objs[0].ry, ry, atol=5e-3)
+    np.testing.assert_allclose([objs[0].h, objs[0].w, objs[0].l],
+                               [1.6, 1.9, 4.5], atol=1e-6)
+    np.testing.assert_allclose(
+        [objs[0].xmin, objs[0].ymin, objs[0].xmax, objs[0].ymax],
+        [540.0, 360.0, 660.0, 440.0], atol=1e-2)
+
+    # pose round-trips
+    pose = np.loadtxt(out / "pose" / "000000.txt")
+    np.testing.assert_allclose(
+        pose, np.array(frame.pose.transform).reshape(4, 4), rtol=1e-6)
+
+
+def test_setup_split_renumbers_and_links(tmp_path):
+    """setup_split mirrors the reference renumbering semantics
+    (data/Waymo/setup_split.py): sequential ids, missing entries skipped but
+    still consuming an id, split file listing only linked ids."""
+    import numpy as np
+
+    from supnerf_tpu.data.waymo_converter import setup_split
+
+    org = tmp_path / "validation_org"
+    for seg, fid in [("seg-a", "000000"), ("seg-a", "000001"),
+                     ("seg-b", "000000")]:
+        for sub, ext, content in [("calib", ".txt", "P2: 1 0 0 0\n"),
+                                  ("image_0", ".png", "fakepng"),
+                                  ("label_0", ".txt", "Car 0 0 0\n"),
+                                  ("velodyne", ".bin", "\x00\x00")]:
+            d = org / seg / sub
+            d.mkdir(parents=True, exist_ok=True)
+            (d / (fid + ext)).write_text(content)
+    # remove one required file -> that entry must be skipped but use an id
+    (org / "seg-a" / "label_0" / "000001.txt").unlink()
+
+    split_list = tmp_path / "val_org.txt"
+    split_list.write_text("seg-a 000000\nseg-a 000001\nseg-b 000000\n")
+    out_split = tmp_path / "val.txt"
+
+    linked = setup_split(str(tmp_path), str(org), str(split_list),
+                         str(out_split), symlink=True)
+    assert linked == ["000000", "000002"]  # 000001 consumed by the skip
+    assert out_split.read_text().split() == ["000000", "000002"]
+    tr = tmp_path / "training"
+    assert (tr / "image" / "000000.png").is_symlink()
+    assert (tr / "velodyne" / "000002.bin").exists()
+    assert not (tr / "calib" / "000001.txt").exists()
+    # linked content resolves to the right segment's file
+    assert (tr / "label" / "000002.txt").read_text() == "Car 0 0 0\n"
