@@ -41,7 +41,10 @@ ROOFLINE_RAYS_PER_SEC = 3.5e6
 # bias/relu) sustains 104 TFLOP/s = 1.81M rays/s — narrow K/N (<=256) layers
 # cannot fill the MXU pipeline to the nominal 197 TF peak. This is a property
 # of the model architecture, not the kernel; see VALIDATION.md round-2
-# "Forward-path profile".
+# "Forward-path profile". Round 3's fused render kernel reaches ~1.0x of this
+# number (slightly above is consistent: the per-ray direction-encoding path
+# does strictly less per-point matmul work than the calibration chain —
+# VALIDATION.md round-3).
 SHAPE_CEILING_RAYS_PER_SEC = 1.81e6
 # The reference optimizes objects serially on GPU at roughly 6 objects/min
 # (~10 s/object: 100 iters + per-iter eval renders). No published number —
@@ -81,6 +84,58 @@ def bench_tto():
     return B / dt * 60
 
 
+def bench_tto_product():
+    """PRODUCT-path TTO throughput: TTODriver.run() end to end — host prep,
+    pose-error injection, dispatch pipeline, result fetch + bookkeeping,
+    pickles — over a synthetic dataset (objects/min). The driver pipeline
+    overlaps prep and bookkeeping with the device steps; this measures what
+    a user actually gets vs bench_tto's device-only number."""
+    import tempfile
+
+    from supnerf_tpu.data.synthetic import make_synthetic_object
+    from supnerf_tpu.models import build_model, init_model_variables
+    from supnerf_tpu.tto.driver import TTODriver
+
+    n_obj = int(os.environ.get("BENCH_PRODUCT_OBJECTS", "64"))
+    bs = int(os.environ.get("BENCH_OBJECTS", "16"))
+
+    class _DS:
+        def __init__(self, n):
+            self.samples = []
+            for i in range(n):
+                s = make_synthetic_object(seed=100 + i)
+                s["instoken"] = f"ins_{i}"
+                s["anntoken"] = f"ann_{i}"
+                s["cam_ids"] = "CAM_FRONT"
+                self.samples.append(s)
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    hp = {"net_hyperparams": _PUBLISHED_HP, "n_samples": 64,
+          "render_im_sz": 32, "in_img_sz": 128, "roi_margin": 5,
+          "loss_occ_coef": 0.1, "shapenet_obj_cood": 1, "sym_aug": 0,
+          "optimize": {"num_opts": 100, "lr_shape": 0.02, "lr_texture": 0.02,
+                       "lr_pose": 0.01, "lr_half_interval": 1000}}
+    model = build_model("supnerf", _PUBLISHED_HP)
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
+    with tempfile.TemporaryDirectory() as tmp:
+        drv = TTODriver(model, variables, np.zeros(256, np.float32),
+                        np.zeros(256, np.float32), hp, _DS(bs), tmp,
+                        batch_size=bs, reg_iters=3, add_pose_err=2,
+                        save_freq=10 ** 9,
+                        field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
+        drv.run()         # warmup: compile + first dispatch
+        drv.dataset = _DS(n_obj)
+        t0 = time.perf_counter()
+        drv.run()
+        dt = time.perf_counter() - t0
+    return n_obj / dt * 60
+
+
 def bench_render():
     """Raw renderer throughput at the TTO-iteration shape: stratified
     sampling -> PE -> conditioned MLP -> compositing, vmapped over objects."""
@@ -107,24 +162,34 @@ def bench_render():
     texturecodes = jax.random.normal(jax.random.PRNGKey(2), (B, 256)) * 0.1
 
     impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
+    dt_ = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        os.environ.get("BENCH_DTYPE", "bfloat16")]
+    tile_m = int(os.environ.get("BENCH_TILE_M", "2048"))
     if impl == "pallas":
-        from supnerf_tpu.ops.pallas_field import make_pallas_field_fn
+        # the fused field+compositing render kernel (the product forward
+        # path: renderer composite_fn hooks / TTODriver._composite_for)
+        from supnerf_tpu.ops.pallas_field import pack_decoder_params
+        from supnerf_tpu.ops.pallas_render import make_composite_fn
 
-        dt_ = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-            os.environ.get("BENCH_DTYPE", "bfloat16")]
-        pallas_field = make_pallas_field_fn(variables, dtype=dt_)
+        packed = pack_decoder_params(variables["params"]["decoder"], 3, 1)
+        kern_kw = dict(shape_blocks=3, texture_blocks=1, dtype=dt_,
+                       tile_fwd=tile_m)
 
-        def field_for(sc, tc):
-            return lambda xyz, vd: pallas_field(xyz, vd, sc, tc)
+        def composite_for(sc, tc):
+            return make_composite_fn(packed, kern_kw, sc, tc)
     else:
-        def field_for(sc, tc):
-            return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
+        def composite_for(sc, tc):
+            return None
+
+    def field_for(sc, tc):
+        return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
 
     def render_one(key, sc, tc):
         out = render_rays_frustum(
             field_for(sc, tc),
             key, cam, K, roi, diag,
             n_samples=N_SAMPLES, im_sz=IM_SZ, shapenet_obj_cood=True,
+            composite_fn=composite_for(sc, tc),
         )
         return out["rgb"], out["depth"], out["acc_trans"]
 
@@ -219,9 +284,19 @@ def main():
                       "batch": int(os.environ.get("BENCH_TRAIN_BATCH", "48"))}}))
         return
 
-    # default: all three, one line, north-star primary
+    if mode == "product":
+        v = bench_tto_product()
+        print(json.dumps({
+            "metric": "tto_product_objects_per_min_per_chip",
+            "value": round(v, 2), "unit": "objects/min",
+            "vs_baseline": round(v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
+            "extra": {"baseline_is_builder_estimate": True}}))
+        return
+
+    # default: all four, one line, north-star primary
     rays = bench_render()
     tto = bench_tto()
+    prod = bench_tto_product()
     sps, peps = bench_train()
     print(json.dumps({
         "metric": "render_rays_per_sec_per_chip",
@@ -232,6 +307,7 @@ def main():
             "vs_roofline": round(rays / ROOFLINE_RAYS_PER_SEC, 4),
             "vs_shape_ceiling": round(rays / SHAPE_CEILING_RAYS_PER_SEC, 4),
             "tto_objects_per_min_per_chip": round(tto, 2),
+            "tto_product_objects_per_min_per_chip": round(prod, 2),
             "tto_vs_serial_reference_estimate": round(
                 tto / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
             "train_steps_per_sec_per_chip": round(sps, 3),

@@ -163,7 +163,7 @@ def loop_chain():
     return fn
 
 
-def loop_fused(pe_in_kernel=False):
+def loop_fused(pe_in_kernel=False, tile_m=TILE_M, compose_dtype=jnp.float32):
     """Fused field+compositing kernel (ops/pallas_render): field chain AND
     compositing in one kernel, (TILE_R, 128) writeback. pe_in_kernel=True
     additionally streams raw f32 points and computes the PE in-kernel via
@@ -183,8 +183,9 @@ def loop_fused(pe_in_kernel=False):
                 xyz = xyz / diag + eps
                 xyz, vds = apply_obj_coord_transform(xyz, vds, True)
                 rgb, depth, at = field_composite_pallas(
-                    packed, xyz, vds, z_vals, sc1, tc1, tile_m=TILE_M,
-                    dtype=jnp.bfloat16, pe_in_kernel=pe_in_kernel)
+                    packed, xyz, vds, z_vals, sc1, tc1, tile_m=tile_m,
+                    dtype=jnp.bfloat16, pe_in_kernel=pe_in_kernel,
+                    compose_dtype=compose_dtype)
                 return rgb.mean() + depth.mean() + at.mean()
 
             return acc + jax.vmap(one)(ks, sc, tc).mean()
@@ -196,6 +197,12 @@ VARIANTS = {
     "base": lambda: timed(loop_full(jnp.float32, True), keys, shapecodes, texturecodes),
     "fused": lambda: timed(loop_fused(False), keys, shapecodes, texturecodes),
     "fused_raw": lambda: timed(loop_fused(True), keys, shapecodes, texturecodes),
+    "fused_bf16c": lambda: timed(loop_fused(False, compose_dtype=jnp.bfloat16),
+                                 keys, shapecodes, texturecodes),
+    "fused_t512": lambda: timed(loop_fused(False, tile_m=512),
+                                keys, shapecodes, texturecodes),
+    "fused_t2048": lambda: timed(loop_fused(False, tile_m=2048),
+                                 keys, shapecodes, texturecodes),
     "pe_bf16": lambda: timed(loop_full(jnp.bfloat16, True), keys, shapecodes, texturecodes),
     "nocomp": lambda: timed(loop_full(jnp.bfloat16, False), keys, shapecodes, texturecodes),
     "nosamp": lambda: timed(loop_nosamp(), keys, shapecodes, texturecodes),

@@ -102,11 +102,16 @@ def _field_chain_to_heads(n_shape: int, n_tex: int, dtype, xpe, dpe,
                           wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
                           wes_ref, bes_ref, wsg_ref, bsg_ref,
                           wvd_a_ref, wvd_b_ref, bvd_ref,
-                          wtx_ref, btx_ref, wr1_ref, br1_ref):
+                          wtx_ref, btx_ref, wr1_ref, br1_ref,
+                          dir_term=None):
     """The fused decoder chain up to the heads: (sigma (m, 1), hh (m, W2))
     with hh the rgb-hidden activation — callers apply their own rgb head
     (plain (W2, 3) in _field_chain; 128-wide padded payload in the fused
-    render kernel, ops/pallas_render.py)."""
+    render kernel, ops/pallas_render.py).
+
+    dir_term, if given, is a precomputed (m, W) viewdir contribution
+    (dpe @ Wvd_b already applied; dpe/wvd_b_ref are then ignored) — used by
+    the fused render kernel's per-RAY direction-encoding path."""
     f32 = jnp.float32
     # Mosaic requires 32-bit matmul accumulation. Activations are STORED in
     # f32 between layers: bf16 storage was measured ~20% slower on v5e (the
@@ -131,7 +136,8 @@ def _field_chain_to_heads(n_shape: int, n_tex: int, dtype, xpe, dpe,
         y = jnp.maximum(mm(y, wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0)
     y = mm(y, wes_ref[:]) + cast(bes_ref[:])
     sigma = jax.nn.softplus(mm(y, wsg_ref[:], out=f32) + bsg_ref[:])
-    h = mm(y, wvd_a_ref[:]) + mm(dpe, wvd_b_ref[:]) + cast(bvd_ref[:])
+    dterm = mm(dpe, wvd_b_ref[:]) if dir_term is None else cast(dir_term)
+    h = mm(y, wvd_a_ref[:]) + dterm + cast(bvd_ref[:])
     h = jnp.maximum(h, 0)
     for j in range(n_tex):
         h = h + cast(zt_ref[j][None, :])

@@ -113,7 +113,7 @@ def _split_pe_chain_to_heads(n_shape: int, n_tex: int, dtype,
 
 
 def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
-                   dtype, white_bkgd: bool, pe_in_kernel: bool,
+                   dtype, white_bkgd: bool, pe_in_kernel: bool, compose_dtype,
                    *refs):
     f32 = jnp.float32
     S = n_samples
@@ -138,11 +138,24 @@ def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
          wvd_a_ref, wvd_b_ref, bvd_ref,
          wtx_ref, btx_ref, wr1_ref, br1_ref, wr2p_ref, br2p_ref,
          z_row_ref, delta_ref, u_ref, seg_mask_ref, eh_ref, out_ref) = refs
+        # the direction encoding is PER RAY (viewdir is constant along a
+        # ray): dpe_ref streams (TILE_R, d_dir) instead of (m, d_dir), its
+        # (tile_r, W) matmul result is expanded to (m, W) by contracting the
+        # segment mask — 64x fewer dir-PE bytes and transcendentals, FLOP-
+        # neutral (the expansion matmul replaces the per-point dpe matmul).
+        hdir_ray = jax.lax.dot_general(
+            dpe_ref[:].astype(dtype), wvd_b_ref[:].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dir_term = jax.lax.dot_general(
+            seg_mask_ref[:].astype(dtype), hdir_ray.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
         sigma, hh = _field_chain_to_heads(
-            n_shape, n_tex, dtype, xpe_ref[:], dpe_ref[:], zs_ref, zt_ref,
+            n_shape, n_tex, dtype, xpe_ref[:], None, zs_ref, zt_ref,
             wxyz_ref, bxyz_ref, wsh_ref, bsh_ref, wes_ref, bes_ref, wsg_ref,
             bsg_ref, wvd_a_ref, wvd_b_ref, bvd_ref, wtx_ref, btx_ref,
-            wr1_ref, br1_ref)
+            wr1_ref, br1_ref, dir_term=dir_term)
     # rgb head into a 128-wide padded payload (cols 0..2 = rgb, rest zero)
     rgb_pad = jax.lax.dot_general(
         hh.astype(dtype), wr2p_ref[:].astype(dtype),
@@ -173,7 +186,8 @@ def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
     w_tiled = jnp.concatenate([w] * tile_r, axis=1)      # (TILE_R, m)
     w_seg = w_tiled * seg_mask_ref[:]
     out = jax.lax.dot_general(
-        w_seg, rgb_pad, dimension_numbers=(((1,), (0,)), ((), ())),
+        w_seg.astype(compose_dtype), rgb_pad.astype(compose_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32)
     out = out + jax.lax.dot_general(
         depth, eh_ref[0:1], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -190,6 +204,24 @@ def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
     out_ref[:] = out
 
 
+def positional_encoding_doubling(x, degree: int):
+    """positional_encoding via the double-angle recurrence: sin/cos of x once
+    (the only transcendentals), then sin(2^i x) = 2 s c, cos(2^i x) = 1-2s^2.
+    Same [x, sin-block, cos-block] freq-major layout as
+    models.nerf_mlp.positional_encoding; max deviation ~1e-6 relative (error
+    compounds ~1 ulp per doubling), far below the bf16 cast the fused render
+    path applies to the result. 10x fewer VPU transcendentals — sin/cos
+    compute is the largest XLA-side cost of the forward render (round-3
+    profile)."""
+    s, c = jnp.sin(x), jnp.cos(x)
+    sins, coss = [s], [c]
+    for _ in range(1, degree):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
+    return jnp.concatenate([x] + sins + coss, axis=-1)
+
+
 def _freq_ladder(degree: int):
     """(3, 3*degree) selector F with F[c, i*3 + c] = 2^i, so x @ F equals the
     freq-major concat([x * 2^i for i]) layout of positional_encoding."""
@@ -202,29 +234,38 @@ def _freq_ladder(degree: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "shape_blocks", "texture_blocks", "num_xyz_freq", "num_dir_freq",
-    "tile_m", "dtype", "interpret", "white_bkgd", "pe_in_kernel"))
+    "tile_m", "dtype", "interpret", "white_bkgd", "pe_in_kernel",
+    "compose_dtype"))
 def field_composite_pallas(packed: dict, xyz, viewdir, z_vals, shapecode,
                            texturecode, *, shape_blocks: int = 3,
                            texture_blocks: int = 1, num_xyz_freq: int = 10,
                            num_dir_freq: int = 4, tile_m: int = 1024,
                            dtype: Any = jnp.bfloat16, interpret: bool = False,
-                           white_bkgd: bool = False, pe_in_kernel: bool = True):
+                           white_bkgd: bool = False, pe_in_kernel: bool = False,
+                           compose_dtype: Any = jnp.float32):
     """Fused field+composite forward render for one object.
 
-    xyz/viewdir: (R, S, 3); z_vals: (S,) shared across rays;
+    xyz: (R, S, 3); viewdir: (R, 3) per ray, or (R, S, 3) with the direction
+    CONSTANT along each ray (every caller broadcasts a per-ray direction;
+    only [:, 0, :] is read). z_vals: (S,) shared across rays;
     shapecode/texturecode: (latent,).
     Returns (rgb (R, 3), depth (R,), acc_trans (R,)) in float32, matching
     ops.volume_render.volume_render over the unfused field to f32/bf16
     accumulation tolerance.
 
-    pe_in_kernel=True streams RAW f32 points (24 B/point) and computes the
-    positional encoding inside the kernel via split first-layer matmuls (see
-    _split_pe_chain_to_heads) — the XLA-side PE compute+materialization is
-    the dominant non-kernel cost of the forward path (round-3 profile:
-    hoisting it moves the path from 0.78 to 0.95 of the shape ceiling).
-    False streams precomputed encodings cast to the compute dtype.
+    pe_in_kernel=True streams RAW f32 points and computes the positional
+    encoding inside the kernel via split first-layer matmuls
+    (_split_pe_chain_to_heads). MEASURED DEAD END on v5e (round-3 profile:
+    0.56 vs 0.87 of the shape ceiling for the XLA-PE path) — Mosaic's
+    narrow-lane transcendentals dominate; kept for the post-mortem record.
+    The default streams xpe per point in the compute dtype and the direction
+    encoding per RAY (expanded in-kernel by a segment-mask matmul).
+    compose_dtype controls the per-ray weighted-rgb matmul operands (f32
+    default; bf16 trades ~0.4% weight quantization for MXU-rate compositing).
     """
     R, S = xyz.shape[0], xyz.shape[1]
+    if viewdir.ndim == 3:
+        viewdir = viewdir[:, 0, :]          # direction is constant per ray
     zs, zt = conditioned_latents(packed, shapecode, texturecode)
     _check_block_counts(zs, zt, shape_blocks, texture_blocks)
     wt = _precast_weights(flatten_weights(packed), dtype)
@@ -239,16 +280,17 @@ def field_composite_pallas(packed: dict, xyz, viewdir, z_vals, shapecode,
     pad_r = (-R) % tile_r
     if pad_r:
         xyz = jnp.pad(xyz, ((0, pad_r), (0, 0), (0, 0)))
-        viewdir = jnp.pad(viewdir, ((0, pad_r), (0, 0), (0, 0)))
+        viewdir = jnp.pad(viewdir, ((0, pad_r), (0, 0)))
     Rp = R + pad_r
 
     if pe_in_kernel:
         lx, ld = num_xyz_freq, num_dir_freq
         wxyz = wt[0]
         wvd_b = wt[9]
+        vd_pts = jnp.broadcast_to(viewdir[:, None, :], (Rp, S, 3))
         operands = (
             xyz.reshape(-1, 3).astype(jnp.float32),
-            viewdir.reshape(-1, 3).astype(jnp.float32),
+            vd_pts.reshape(-1, 3).astype(jnp.float32),
             zs, zt,
             wxyz[0:3], wxyz[3:3 + 3 * lx], wxyz[3 + 3 * lx:],  # W0/Ws/Wc
             wt[1], wt[2], wt[3], wt[4], wt[5], wt[6], wt[7], wt[8],
@@ -256,12 +298,14 @@ def field_composite_pallas(packed: dict, xyz, viewdir, z_vals, shapecode,
             wt[10], wt[11], wt[12], wt[13], wt[14], wr2p, br2p,
             _freq_ladder(lx), _freq_ladder(ld),
         )
-        lead_specs = [3, 3]
+        lead_specs = [(m, 3), (m, 3)]
     else:
-        xpe = positional_encoding(xyz.reshape(-1, 3), num_xyz_freq).astype(dtype)
-        dpe = positional_encoding(viewdir.reshape(-1, 3), num_dir_freq).astype(dtype)
+        xpe = positional_encoding_doubling(
+            xyz.reshape(-1, 3), num_xyz_freq).astype(dtype)
+        dpe = positional_encoding_doubling(
+            viewdir, num_dir_freq).astype(dtype)   # (Rp, d) per ray
         operands = (xpe, dpe, zs, zt) + wt[:15] + (wr2p, br2p)
-        lead_specs = [xpe.shape[-1], dpe.shape[-1]]
+        lead_specs = [(m, xpe.shape[-1]), (tile_r, dpe.shape[-1])]
 
     z_vals = jnp.asarray(z_vals, jnp.float32)
     deltas = jnp.concatenate(
@@ -276,16 +320,17 @@ def field_composite_pallas(packed: dict, xyz, viewdir, z_vals, shapecode,
     operands = operands + (z_row, delta_row, u_mat, seg_mask, eh)
 
     grid = (Rp // tile_r,)
-    tile_spec = lambda d: pl.BlockSpec((m, d), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM)
+    tile_spec = lambda rows, d: pl.BlockSpec((rows, d), lambda i: (i, 0),
+                                             memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_render_kernel, shape_blocks, texture_blocks,
-                               S, tile_r, dtype, white_bkgd, pe_in_kernel)
+                               S, tile_r, dtype, white_bkgd, pe_in_kernel,
+                               compose_dtype)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tile_spec(lead_specs[0]), tile_spec(lead_specs[1])]
+        in_specs=[tile_spec(*lead_specs[0]), tile_spec(*lead_specs[1])]
                  + [full()] * (len(operands) - 2),
         out_specs=pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -293,3 +338,25 @@ def field_composite_pallas(packed: dict, xyz, viewdir, z_vals, shapecode,
         interpret=interpret,
     )(*operands)
     return out[:R, 0:3], out[:R, 3], out[:R, 4]
+
+
+def composite_kwargs_from_kernel_config(kern_kw: dict) -> dict:
+    """Map resolve_decoder_kernel_config kwargs (tile_fwd/tile_bwd naming)
+    to field_composite_pallas kwargs."""
+    kw = {k: v for k, v in kern_kw.items() if k not in ("tile_fwd", "tile_bwd")}
+    kw["tile_m"] = kern_kw.get("tile_fwd", 1024)
+    return kw
+
+
+def make_composite_fn(packed: dict, kern_kw: dict, shapecode, texturecode,
+                      **overrides):
+    """Closure (xyz (R,S,3), viewdir (R,3) or (R,S,3), z_vals (S,)) ->
+    (rgb, depth, acc) over the fused render kernel, for the renderer's
+    composite_fn hooks. kern_kw: resolve_decoder_kernel_config kwargs."""
+    kw = dict(composite_kwargs_from_kernel_config(kern_kw), **overrides)
+
+    def composite(xyz, viewdir, z_vals):
+        return field_composite_pallas(packed, xyz, viewdir, z_vals,
+                                      shapecode, texturecode, **kw)
+
+    return composite

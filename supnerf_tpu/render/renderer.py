@@ -63,10 +63,15 @@ def frustum_near_far(cam_pose, obj_diag):
 def render_rays_frustum(field_fn, key, cam_pose, K, roi, obj_diag, *,
                         n_samples: int, im_sz: int, shapenet_obj_cood: bool,
                         kitti2nusc: bool = False, sym_flip=None,
-                        return_samples: bool = False):
+                        return_samples: bool = False, composite_fn=None):
     """The TTO hot path (reference render_rays_v2): an im_sz x im_sz ray grid
     over the ROI, stratified samples in the frustum shell around the object
     distance, points normalized by obj_diag.
+
+    composite_fn, if given, replaces field_fn + volume_render with one fused
+    call (xyz (R,S,3), viewdir (R,3), z_vals (S,)) -> (rgb, depth, acc) —
+    the forward-only fused Pallas render kernel (ops.pallas_render). Ignored
+    when return_samples needs the raw sigmas.
 
     Returns dict(rgb (R,3), depth (R,), acc_trans (R,)) with R = im_sz^2.
     """
@@ -75,6 +80,9 @@ def render_rays_frustum(field_fn, key, cam_pose, K, roi, obj_diag, *,
     xyz, vds, z_vals = sample_from_rays(key, rays_o, viewdir, near, far, n_samples)
     xyz = xyz / obj_diag
     xyz, vds = apply_obj_coord_transform(xyz, vds, shapenet_obj_cood, kitti2nusc, sym_flip)
+    if composite_fn is not None and not return_samples:
+        rgb, depth, acc = composite_fn(xyz, vds[:, 0, :], z_vals)
+        return {"rgb": rgb, "depth": depth, "acc_trans": acc}
     sigmas, rgbs = field_fn(xyz, vds)
     rgb, depth, acc = volume_render(sigmas, rgbs, z_vals)
     out = {"rgb": rgb, "depth": depth, "acc_trans": acc}
@@ -85,15 +93,20 @@ def render_rays_frustum(field_fn, key, cam_pose, K, roi, obj_diag, *,
 
 def render_rays_at_pixels(field_fn, key, cam_pose, K, u_vec, v_vec, obj_diag, *,
                           n_samples: int, shapenet_obj_cood: bool,
-                          kitti2nusc: bool = False, sym_flip=None):
+                          kitti2nusc: bool = False, sym_flip=None,
+                          composite_fn=None):
     """Render only specified pixels (sparse lidar depth evaluation, reference
     render_rays_specified). u_vec/v_vec: (N,) FULL-image pixel coordinates
-    (caller adds the roi offset). Padded entries are fine — mask downstream."""
+    (caller adds the roi offset). Padded entries are fine — mask downstream.
+    composite_fn: see render_rays_frustum."""
     rays_o, viewdir = get_rays_specified(K, cam_pose, u_vec, v_vec)
     near, far = frustum_near_far(cam_pose, obj_diag)
     xyz, vds, z_vals = sample_from_rays(key, rays_o, viewdir, near, far, n_samples)
     xyz = xyz / obj_diag
     xyz, vds = apply_obj_coord_transform(xyz, vds, shapenet_obj_cood, kitti2nusc, sym_flip)
+    if composite_fn is not None:
+        rgb, depth, acc = composite_fn(xyz, vds[:, 0, :], z_vals)
+        return {"rgb": rgb, "depth": depth, "acc_trans": acc}
     sigmas, rgbs = field_fn(xyz, vds)
     rgb, depth, acc = volume_render(sigmas, rgbs, z_vals)
     return {"rgb": rgb, "depth": depth, "acc_trans": acc}
@@ -128,7 +141,8 @@ def render_rays_aabb(field_fn, key, cam_pose, K, roi, obj_sz, *,
 
 def render_full_image(field_fn, cam_pose, K, roi_hw, obj_diag, *,
                       n_samples: int, shapenet_obj_cood: bool,
-                      kitti2nusc: bool = False, chunk: int = 4096, key=None):
+                      kitti2nusc: bool = False, chunk: int = 4096, key=None,
+                      composite_fn=None):
     """Render every pixel of an (H, W) ROI grid deterministically (z_fixed
     stratification midpoint: the reference uses jittered sampling even here;
     we use the unjittered stratified centers unless a key is passed).
@@ -153,6 +167,8 @@ def render_full_image(field_fn, cam_pose, K, roi_hw, obj_diag, *,
 
     def render_block(args):
         xb, vb = args
+        if composite_fn is not None:
+            return composite_fn(xb, vb[:, 0, :], z_vals)
         sig, rgb = field_fn(xb, vb)
         return volume_render(sig, rgb, z_vals)
 
@@ -166,7 +182,8 @@ def render_full_image(field_fn, cam_pose, K, roi_hw, obj_diag, *,
 def render_virtual_views(field_fn, obj_diag, K, *, n_samples: int,
                          shapenet_obj_cood: bool, radius: float = 40.0,
                          tilt: float = jnp.pi / 6, pan_num: int = 8,
-                         img_sz: int = 128, kitti2nusc: bool = False):
+                         img_sz: int = 128, kitti2nusc: bool = False,
+                         composite_fn=None):
     """Render a ring of pan_num virtual views around the object (reference
     render_virtual_imgs, utils.py:619-672). Returns (pan_num, img_sz, img_sz, 3)."""
     K = jnp.asarray(K, jnp.float32)
@@ -191,7 +208,7 @@ def render_virtual_views(field_fn, obj_diag, K, *, n_samples: int,
         img, _, _ = render_full_image(
             field_fn, cam_pose, K, (roi, img_sz, img_sz), obj_diag,
             n_samples=n_samples, shapenet_obj_cood=shapenet_obj_cood,
-            kitti2nusc=kitti2nusc,
+            kitti2nusc=kitti2nusc, composite_fn=composite_fn,
         )
         imgs.append(img)
     return jnp.stack(imgs)

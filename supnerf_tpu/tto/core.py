@@ -293,6 +293,7 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             field_apply_pallas,
             resolve_decoder_kernel_config,
         )
+        from supnerf_tpu.ops.pallas_render import make_composite_fn
 
         packed, kern_kw = resolve_decoder_kernel_config(model, variables)
 
@@ -301,9 +302,17 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
                 return field_apply_pallas(packed, xyz, vd, sc, tc, **kern_kw)
 
             return f
+
+        def make_composite(sc, tc):
+            # forward-only fused field+compositing kernel for the grad-free
+            # renders inside the loop (the per-iteration lidar depth metric)
+            return make_composite_fn(packed, kern_kw, sc, tc)
     else:
         def make_field(sc, tc):
             return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
+
+        def make_composite(sc, tc):
+            return None
 
     params_from_obj_pose, obj_pose_from_params = pose_param_fns(cfg)
 
@@ -377,6 +386,7 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
                 field_fn(p), it_key, cam, K, lid_u, lid_v, diag,
                 n_samples=cfg.n_samples, shapenet_obj_cood=cfg.shapenet_obj_cood,
                 kitti2nusc=cfg.kitti2nusc,
+                composite_fn=make_composite(p.shapecode, p.texturecode),
             )
             err = jnp.abs(out["depth"] - lid_d) * lid_m
             return jnp.sum(err) / (jnp.sum(lid_m) + 1e-8)

@@ -150,9 +150,11 @@ class TTODriver:
             _, kern_kw = resolve_decoder_kernel_config(model, self.variables)
             fwd_kw = {k: v for k, v in kern_kw.items()
                       if k not in ("tile_fwd", "tile_bwd")}
-            # reused by _field_for_v so every forward call site (cross-view
-            # eval, vis) gets the same gating/dtype/interpret configuration
+            # reused by _field_for_v / _composite_for so every forward call
+            # site (cross-view eval, vis) gets the same gating/dtype/
+            # interpret/tile configuration
             self._fwd_kw = fwd_kw
+            self._kern_kw = kern_kw
 
             def _pallas_fwd(xyz, vd, sc, tc):
                 from supnerf_tpu.ops.pallas_field import pack_decoder_params
@@ -248,16 +250,33 @@ class TTODriver:
         with self.timer.phase("host_prep"), jax.default_device(cpu):
             return tuple(zip(*[self._prep_one(i) for i in idxs]))
 
+    def _prep_many(self, idxs):
+        """CPU-pinned host prep for the multiview / cross-view paths (same
+        tunnel-round-trip fix as _prep_batch; these call sites previously ran
+        _prep_one eagerly on the default device at ~0.4 s/object)."""
+        from supnerf_tpu.utils.profiling import PhaseTimer
+
+        if not hasattr(self, "timer"):
+            self.timer = PhaseTimer()
+        cpu = jax.local_devices(backend="cpu")[0]
+        with self.timer.phase("host_prep"), jax.default_device(cpu):
+            return [self._prep_one(i)[0] for i in idxs]
+
     # ------------------------------------------------------------------- run
     def run(self):
-        """Optimize the whole dataset in device batches. Host prep for batch
-        i+1 overlaps batch i's device step (one prefetch worker keeps the
-        prep RNG stream sequential; the reference preps serially between
-        per-object GPU loops)."""
+        """Optimize the whole dataset in device batches, fully pipelined:
+        host prep for batch i+1 overlaps batch i's device step (one prefetch
+        worker keeps the prep RNG stream sequential), and batch i's device
+        step is DISPATCHED before batch i-1's results are fetched and
+        bookkept — result transfer and bookkeeping ride under the next
+        batch's device time instead of serializing with it (the reference
+        preps, optimizes, and logs strictly serially per object)."""
         from concurrent.futures import ThreadPoolExecutor
 
         n = len(self.dataset)
         starts = list(range(0, n, self.batch_size))
+        pending = None          # (idxs, samples, prepped, device result)
+        done_batches = 0
         with ThreadPoolExecutor(max_workers=1) as ex:
             all_idxs = [list(range(s, min(s + self.batch_size, n)))
                         for s in starts]
@@ -267,10 +286,15 @@ class TTODriver:
                 fut = (ex.submit(self._prep_batch, all_idxs[bi + 1])
                        if bi + 1 < len(starts) else None)
                 print(f"num obj: {start}/{n}")
-                self.optimize_object_batch(idxs, prepped=prepped, samples=samples)
-                if (start // self.batch_size) % max(self.save_freq // self.batch_size, 1) == 0 \
-                        or start + self.batch_size >= n:
-                    self.save_results()
+                res = self._dispatch_batch(idxs, prepped)
+                if pending is not None:
+                    self._postprocess_batch(*pending)
+                    done_batches += 1
+                    if (done_batches - 1) % max(self.save_freq // self.batch_size, 1) == 0:
+                        self.save_results()
+                pending = (idxs, samples, prepped, res)
+            if pending is not None:
+                self._postprocess_batch(*pending)
         self.save_results()
         # reference-format twin so reference tooling can re-score these
         # results (one-way read of reference .pth already exists in
@@ -281,14 +305,20 @@ class TTODriver:
         return self.results_dict()
 
     def optimize_object_batch(self, idxs, prepped=None, samples=None):
+        """Dispatch + fetch + bookkeep one batch synchronously (run() uses
+        the pipelined dispatch/postprocess pair directly)."""
         if prepped is None:
             prepped, samples = self._prep_batch(idxs)
+        res = self._dispatch_batch(idxs, prepped)
+        return self._postprocess_batch(idxs, samples, prepped, res)
+
+    def _dispatch_batch(self, idxs, prepped):
+        """Launch the device TTO program for one batch and return the device
+        result pytree WITHOUT synchronizing (jax async dispatch)."""
         B = len(prepped)
-        pad = 0
         rows = list(prepped)
         if B < self.batch_size:  # pad to the compiled batch size
-            pad = self.batch_size - B
-            rows = rows + [rows[-1]] * pad
+            rows = rows + [rows[-1]] * (self.batch_size - B)
         stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
 
         if self.opt_pose == 2:
@@ -304,8 +334,15 @@ class TTODriver:
         if self.mesh is not None:
             batch = shard_pytree_batch(batch, self.mesh)
         self.key, k = jax.random.split(self.key)
+        with self.timer.phase("device_dispatch"):
+            return self._tto_jit(self.variables, batch, k)
+
+    def _postprocess_batch(self, idxs, samples, prepped, res):
+        """Fetch one batch's device results (blocking) and do the host-side
+        bookkeeping. Under run()'s pipeline this overlaps the NEXT batch's
+        device step."""
         with self.timer.phase("device_tto"):
-            res = jax.tree.map(np.asarray, self._tto_jit(self.variables, batch, k))
+            res = jax.tree.map(np.asarray, res)
 
         # OOD pose sanity check (reference optimizer_nuscenes.py:656-660): the
         # feed-forward-refined pose's up axis (rotation z column) deviating
@@ -382,7 +419,8 @@ class TTODriver:
                 field, cam, jnp.asarray(inputs["K"]), (jnp.asarray(roi), sz, sz),
                 diag, n_samples=self.cfg.n_samples,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood,
-                kitti2nusc=self.cfg.kitti2nusc, chunk=4096)
+                kitti2nusc=self.cfg.kitti2nusc, chunk=4096,
+                composite_fn=self._composite_for(sc, tc))
             gt_vis = gt_small.copy()
             uv = np.asarray(view_points(
                 corners_of_box(pose, jnp.asarray(inputs["wlh"])),
@@ -417,7 +455,8 @@ class TTODriver:
                 jnp.asarray(inputs["K"]), (jnp.asarray(roi), sz, sz), diag,
                 n_samples=self.cfg.n_samples,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood,
-                kitti2nusc=self.cfg.kitti2nusc, chunk=4096)
+                kitti2nusc=self.cfg.kitti2nusc, chunk=4096,
+                composite_fn=self._composite_for(sc, tc))
             self.ssim_eval.setdefault(log_idx, []).append(
                 compute_ssim(np.asarray(rgb_f), gt_small))
             views = render_virtual_views(
@@ -432,6 +471,19 @@ class TTODriver:
             return lambda xyz, vd: self._pallas_field(xyz, vd, sc, tc)
         return lambda xyz, vd: self.model.apply(self.variables, xyz, vd, sc, tc)
 
+    def _composite_for(self, sc, tc):
+        """Fused forward field+compositing closure for the renderer
+        composite_fn hooks (None on the flax path)."""
+        if self._pallas_field is None:
+            return None
+        from supnerf_tpu.ops.pallas_field import pack_decoder_params
+        from supnerf_tpu.ops.pallas_render import make_composite_fn
+
+        packed = pack_decoder_params(
+            self.variables["params"]["decoder"],
+            self._fwd_kw["shape_blocks"], self._fwd_kw["texture_blocks"])
+        return make_composite_fn(packed, self._kern_kw, sc, tc)
+
     def _field_for_v(self, variables, sc, tc):
         """Field closure over EXPLICIT variables — use inside jitted functions
         so the params are traced arguments, not multi-GB baked-in constants."""
@@ -444,6 +496,18 @@ class TTODriver:
             return lambda xyz, vd: field_forward_pallas(
                 packed, xyz, vd, sc, tc, **self._fwd_kw)
         return lambda xyz, vd: self.model.apply(variables, xyz, vd, sc, tc)
+
+    def _composite_for_v(self, variables, sc, tc):
+        """Fused composite closure over EXPLICIT (traced) variables."""
+        if self._pallas_field is None:
+            return None
+        from supnerf_tpu.ops.pallas_field import pack_decoder_params
+        from supnerf_tpu.ops.pallas_render import make_composite_fn
+
+        packed = pack_decoder_params(
+            variables["params"]["decoder"],
+            self._fwd_kw["shape_blocks"], self._fwd_kw["texture_blocks"])
+        return make_composite_fn(packed, self._kern_kw, sc, tc)
 
     def _encode_uv(self, img_in):
         if not hasattr(self, "_encode_uv_jit"):
@@ -543,7 +607,7 @@ class TTODriver:
 
         for ins, idx_list in by_ins.items():
             idx_list = idx_list[:v_max]
-            prepped = [self._prep_one(i)[0] for i in idx_list]
+            prepped = self._prep_many(idx_list)
             V = len(prepped)
             rows = prepped + [prepped[-1]] * (v_max - V)
             stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
@@ -589,17 +653,18 @@ class TTODriver:
             diag = jnp.linalg.norm(wlh)
             cam = invert_pose(obj_pose_gt)
             field = self._field_for_v(variables, sc, tc)
+            comp = self._composite_for_v(variables, sc, tc)
             out = render_rays_frustum(
                 field, jax.random.PRNGKey(0), cam, K, roi_nerf, diag,
                 n_samples=self.cfg.n_samples, im_sz=self.cfg.render_im_sz,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood,
-                kitti2nusc=self.cfg.kitti2nusc)
+                kitti2nusc=self.cfg.kitti2nusc, composite_fn=comp)
             psnr = masked_psnr(out["rgb"], rgb_tgt, occ_tgt)
             outd = render_rays_at_pixels(
                 field, jax.random.PRNGKey(0), cam, K, lid_u, lid_v, diag,
                 n_samples=self.cfg.n_samples,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood,
-                kitti2nusc=self.cfg.kitti2nusc)
+                kitti2nusc=self.cfg.kitti2nusc, composite_fn=comp)
             derr = jnp.sum(jnp.abs(outd["depth"] - lid_d) * lid_m) / (jnp.sum(lid_m) + 1e-8)
             return psnr, derr
 
@@ -652,8 +717,9 @@ class TTODriver:
             if len(views) < 1:
                 continue
             n_v = len(views)
-            # host prep runs ONCE per view, not per (code-iter x row) pair
-            prepped = [self._prep_one(idx)[0] for idx, _, _ in views]
+            # host prep runs ONCE per view, not per (code-iter x row) pair,
+            # pinned to the CPU device (same fix as _prep_batch)
+            prepped = self._prep_many([idx for idx, _, _ in views])
             # saved codes stacked (n_code, n_v, latent)
             sc = np.stack([np.asarray(self.optimized_shapecodes[a][c])
                            for _, a, c in views], axis=1)

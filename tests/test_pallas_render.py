@@ -113,3 +113,18 @@ def test_fused_render_opaque_and_empty_rays():
                                    atol=3e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_ref),
                                    atol=3e-4, rtol=1e-4)
+
+
+def test_positional_encoding_doubling_matches_exact():
+    from supnerf_tpu.models.nerf_mlp import positional_encoding
+    from supnerf_tpu.ops.pallas_render import positional_encoding_doubling
+
+    x = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (64, 3)),
+                    jnp.float32)
+    # recurrence error compounds ~1 ulp per doubling: ~1e-4 at the 10th
+    # frequency — an order of magnitude below the bf16 cast (~2e-3 absolute
+    # on sin values) the fused render path applies to the result
+    for degree, atol in ((4, 2e-6), (10, 2e-4)):
+        exact = np.asarray(positional_encoding(x, degree))
+        fast = np.asarray(positional_encoding_doubling(x, degree))
+        np.testing.assert_allclose(fast, exact, atol=atol)
