@@ -10,6 +10,13 @@ from __future__ import annotations
 
 import numpy as np
 
+# nuScenes car-category wlh statistics (reference optimizer_nuscenes.py:27-28
+# WLH_MEAN/WLH_STD) — the single canonical copy: used by pred_wlh==2 handling
+# (tto.core.effective_wlh) and as the demo-pipeline default box size
+# (data.nuscenes.get_objects_in_image).
+NUSC_CAR_WLH_MEAN = np.array([1.9446588, 4.641784, 1.7103361], np.float32)
+NUSC_CAR_WLH_STD = np.array([0.1611075, 0.3961748, 0.20885137], np.float32)
+
 
 def box_iou_xyxy(a, b) -> float:
     """IoU of two [xmin, ymin, xmax, ymax] boxes (intersection over union with

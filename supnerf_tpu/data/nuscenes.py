@@ -22,6 +22,8 @@ import os
 
 import numpy as np
 
+from supnerf_tpu.data.common import NUSC_CAR_WLH_MEAN
+
 from supnerf_tpu.data.common import (
     get_associate_box_3d,
     get_mask_occ_from_ins,
@@ -369,7 +371,7 @@ class NuScenesData:
                 "obj_poses": np.concatenate(
                     [np.eye(3, dtype=np.float32),
                      np.asarray([[0.0], [0.0], [20.0]], np.float32)], axis=1),
-                "wlh": np.asarray([1.9446588, 4.641784, 1.7103361], np.float32),
+                "wlh": NUSC_CAR_WLH_MEAN.copy(),
                 "instoken": f"demo_{stem}_{i}",
                 "anntoken": f"demo_{stem}_{i}",
                 "cam_ids": cam,

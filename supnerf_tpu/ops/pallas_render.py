@@ -44,7 +44,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from supnerf_tpu.models.nerf_mlp import positional_encoding
+from supnerf_tpu.models.nerf_mlp import (
+    positional_encoding,
+    positional_encoding_doubling,
+)
 from supnerf_tpu.ops.pallas_field import (
     _check_block_counts,
     _field_chain_to_heads,
@@ -202,24 +205,6 @@ def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32)
     out_ref[:] = out
-
-
-def positional_encoding_doubling(x, degree: int):
-    """positional_encoding via the double-angle recurrence: sin/cos of x once
-    (the only transcendentals), then sin(2^i x) = 2 s c, cos(2^i x) = 1-2s^2.
-    Same [x, sin-block, cos-block] freq-major layout as
-    models.nerf_mlp.positional_encoding; max deviation ~1e-6 relative (error
-    compounds ~1 ulp per doubling), far below the bf16 cast the fused render
-    path applies to the result. 10x fewer VPU transcendentals — sin/cos
-    compute is the largest XLA-side cost of the forward render (round-3
-    profile)."""
-    s, c = jnp.sin(x), jnp.cos(x)
-    sins, coss = [s], [c]
-    for _ in range(1, degree):
-        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
-        sins.append(s)
-        coss.append(c)
-    return jnp.concatenate([x] + sins + coss, axis=-1)
 
 
 def _freq_ladder(degree: int):

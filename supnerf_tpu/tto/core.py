@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from supnerf_tpu.data.common import NUSC_CAR_WLH_MEAN, NUSC_CAR_WLH_STD
 from supnerf_tpu.geometry.boxes import invert_pose
 from supnerf_tpu.geometry.poses import calc_pose_err
 from supnerf_tpu.geometry.rotations import (
@@ -58,9 +59,10 @@ from supnerf_tpu.tto.refiner import fw_pose_refine
 # after the loop.
 CODE_SAVE_ITERS = (0, 5, 10, 20, 50, 100)
 
-# nuScenes car dataset statistics used by pred_wlh==2 (reference :27-28)
-WLH_MEAN = jnp.array([1.9446588, 4.641784, 1.7103361], jnp.float32)
-WLH_STD = jnp.array([0.1611075, 0.3961748, 0.20885137], jnp.float32)
+# nuScenes car dataset statistics used by pred_wlh==2 (reference :27-28);
+# canonical values live in data.common (shared with the demo defaults)
+WLH_MEAN = jnp.asarray(NUSC_CAR_WLH_MEAN)
+WLH_STD = jnp.asarray(NUSC_CAR_WLH_STD)
 
 
 @dataclasses.dataclass(frozen=True)
