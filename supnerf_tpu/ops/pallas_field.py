@@ -39,7 +39,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from supnerf_tpu.models.nerf_mlp import positional_encoding
+from supnerf_tpu.models.nerf_mlp import (
+    positional_encoding,
+    positional_encoding_doubling,
+)
 
 
 def pack_decoder_params(decoder_params: dict, shape_blocks: int = 3,
@@ -87,6 +90,17 @@ def _check_block_counts(zs, zt, shape_blocks: int, texture_blocks: int):
             f"packed decoder has {zs.shape[-2]} shape / {zt.shape[-2]} texture "
             f"blocks but the kernel was configured for {shape_blocks}/"
             f"{texture_blocks} — pass matching shape_blocks/texture_blocks")
+
+
+def _pe_for_dtype(dtype):
+    """XLA-side forward PE selector: the doubling-recurrence variant when the
+    kernel casts operands to bf16 anyway (measured max abs deviation ~3e-4 at
+    degree 10, an order below bf16 eps; 10x fewer VPU transcendentals —
+    VALIDATION.md round 3), exact sin/cos otherwise so the f32 interpret-mode
+    gradient-parity tests stay exact."""
+    return (positional_encoding_doubling
+            if np.dtype(dtype) == np.dtype(jnp.bfloat16)
+            else positional_encoding)
 
 
 def _pe_rank2(x, degree: int):
@@ -325,8 +339,9 @@ def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
             num_xyz_freq=num_xyz_freq, num_dir_freq=num_dir_freq,
             tile_m=tile_m, dtype=dtype, interpret=interpret)
     else:
-        xpe = positional_encoding(xyz.reshape(-1, 3), num_xyz_freq)
-        dpe = positional_encoding(viewdir.reshape(-1, 3), num_dir_freq)
+        pe = _pe_for_dtype(dtype)
+        xpe = pe(xyz.reshape(-1, 3), num_xyz_freq)
+        dpe = pe(viewdir.reshape(-1, 3), num_dir_freq)
         sigma, rgb = _fwd_pallas_call(
             wt, xpe, dpe, zs, zt,
             shape_blocks=shape_blocks, texture_blocks=texture_blocks,
@@ -499,8 +514,9 @@ def _make_field_core(shape_blocks: int, texture_blocks: int, num_xyz_freq: int,
 
     @jax.custom_vjp
     def core(xyz, vd, zs, zt, wt):
-        xpe = positional_encoding(xyz, num_xyz_freq)
-        dpe = positional_encoding(vd, num_dir_freq)
+        pe = _pe_for_dtype(dtype)
+        xpe = pe(xyz, num_xyz_freq)
+        dpe = pe(vd, num_dir_freq)
         return _fwd_pallas_call(
             wt, xpe, dpe, zs, zt, shape_blocks=shape_blocks,
             texture_blocks=texture_blocks, tile_m=tile_fwd, dtype=dtype,
@@ -879,8 +895,9 @@ def field_train_pallas(packed: dict, xyz, viewdir, shapecodes, texturecodes, *,
     B = xyz.shape[0]
     lead_shape = xyz.shape[:-1]
     per_obj = int(np.prod(xyz.shape[1:-1])) if xyz.ndim > 2 else 1
-    xpe = positional_encoding(xyz.reshape(-1, 3), num_xyz_freq)
-    dpe = positional_encoding(viewdir.reshape(-1, 3), num_dir_freq)
+    pe = _pe_for_dtype(dtype)
+    xpe = pe(xyz.reshape(-1, 3), num_xyz_freq)
+    dpe = pe(viewdir.reshape(-1, 3), num_dir_freq)
     zs, zt = conditioned_latents_batched(packed, shapecodes, texturecodes)
     _check_block_counts(zs, zt, shape_blocks, texture_blocks)
 

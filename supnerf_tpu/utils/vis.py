@@ -98,3 +98,98 @@ def virtual_view_sheet(views: np.ndarray) -> np.ndarray:
         rows.append(np.concatenate(list(imgs), axis=1))
     sheet = np.concatenate(rows, axis=0)
     return (np.clip(sheet, 0, 1) * 255).astype(np.uint8)
+
+# --------------------------------------------------------------------------
+# KITTI debug visualization (headless equivalents of the vendored
+# kitti_object_vis helpers the reference imports in src/data_kitti.py:13-14:
+# compute_box_3d (kitti_util.py:601), show_image_with_boxes
+# (kitti_object.py:186), show_lidar_on_image (kitti_object.py:676). The
+# mayavi 3D window is intentionally not reproduced; these return images.
+# --------------------------------------------------------------------------
+
+# 2D box colors per KITTI category (kitti_object.py:196-217)
+_KITTI_BOX_COLORS = {"Car": (0, 255, 0), "Pedestrian": (255, 255, 0),
+                     "Cyclist": (0, 255, 255)}
+
+
+def compute_box_3d(obj, P: np.ndarray):
+    """Project a KITTI label-frame 3D box into the image plane
+    (kitti_util.py:601-637 convention: yaw about +y, t at the bottom-face
+    center, y down so the top ring sits at y=-h).
+
+    Returns (corners_2d (8, 2) or None if any corner is behind the camera,
+    corners_3d (8, 3) in rect camera coords)."""
+    c, s = np.cos(obj.ry), np.sin(obj.ry)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    l, w, h = obj.l, obj.w, obj.h
+    x = np.array([l, l, -l, -l, l, l, -l, -l]) / 2.0
+    y = np.array([0, 0, 0, 0, -h, -h, -h, -h], np.float64)
+    z = np.array([w, -w, -w, w, w, -w, -w, w]) / 2.0
+    corners_3d = (R @ np.vstack([x, y, z])).T + np.asarray(obj.t)
+    if np.any(corners_3d[:, 2] < 0.1):
+        return None, corners_3d
+    uvw = corners_3d @ np.asarray(P)[:3, :3].T + np.asarray(P)[:3, 3]
+    return uvw[:, :2] / uvw[:, 2:3], corners_3d
+
+
+def draw_projected_box3d(image: np.ndarray, qs: np.ndarray,
+                         color=(0, 255, 0), thickness: int = 2) -> np.ndarray:
+    """Wireframe of a projected box: bottom ring (0-3), top ring (4-7),
+    pillars (kitti_util.py draw_projected_box3d semantics)."""
+    import cv2
+
+    image = np.ascontiguousarray(image)
+    qs = qs.astype(np.int32)
+    for k in range(4):
+        i, j = k, (k + 1) % 4
+        cv2.line(image, tuple(qs[i]), tuple(qs[j]), color, thickness)
+        i, j = k + 4, (k + 1) % 4 + 4
+        cv2.line(image, tuple(qs[i]), tuple(qs[j]), color, thickness)
+        cv2.line(image, tuple(qs[k]), tuple(qs[k + 4]), color, thickness)
+    return image
+
+
+def show_image_with_boxes(img: np.ndarray, objects, calib, show3d: bool = True):
+    """(img with 2D rects, img with projected 3D wireframes) for a KITTI
+    frame's labels (kitti_object.py:186-249, minus the cv2.imshow side
+    effects). objects: data.kitti_format.Object3d list; calib provides .P."""
+    import cv2
+
+    img1, img2 = np.copy(img), np.copy(img)
+    for obj in objects:
+        color = _KITTI_BOX_COLORS.get(obj.type)
+        if color is None:  # DontCare / other categories are skipped
+            continue
+        cv2.rectangle(img1, (int(obj.xmin), int(obj.ymin)),
+                      (int(obj.xmax), int(obj.ymax)), color, 2)
+        if show3d:
+            box3d_pts_2d, _ = compute_box_3d(obj, calib.P)
+            if box3d_pts_2d is not None:
+                img2 = draw_projected_box3d(img2, box3d_pts_2d, color=color)
+    return img1, img2
+
+
+def show_lidar_on_image(pc_velo: np.ndarray, img: np.ndarray, calib,
+                        img_width: int, img_height: int) -> np.ndarray:
+    """Splat lidar returns onto the image, hsv-colored by 640/depth
+    (kitti_object.py:676-700, returning the image instead of cv2.imshow)."""
+    import cv2
+    import matplotlib.pyplot as plt
+
+    from supnerf_tpu.data.kitti_format import get_lidar_in_image_fov
+
+    img = np.copy(img)
+    pc_velo = np.asarray(pc_velo)[:, :3]
+    _, pts_2d, fov_inds = get_lidar_in_image_fov(
+        pc_velo, calib, 0, 0, img_width, img_height, return_more=True)
+    imgfov_pts_2d = pts_2d[fov_inds, :]
+    imgfov_pc_rect = calib.project_velo_to_rect(pc_velo[fov_inds])
+    cmap = (np.asarray(plt.get_cmap("hsv")(np.linspace(0, 1, 256)))[:, :3]
+            * 255)
+    for i in range(imgfov_pts_2d.shape[0]):
+        depth = max(float(imgfov_pc_rect[i, 2]), 1e-3)
+        color = cmap[int(np.clip(640.0 / depth, 0, 255)), :]
+        cv2.circle(img, (int(np.round(imgfov_pts_2d[i, 0])),
+                         int(np.round(imgfov_pts_2d[i, 1]))),
+                   2, color=tuple(color), thickness=-1)
+    return img

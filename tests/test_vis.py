@@ -1,0 +1,73 @@
+"""KITTI debug-visualization helpers (headless equivalents of the vendored
+kitti_object_vis functions the reference imports in src/data_kitti.py:13-14)."""
+import numpy as np
+import pytest
+
+from supnerf_tpu.data.kitti_format import Calibration, Object3d, read_label
+from supnerf_tpu.utils.vis import (
+    compute_box_3d,
+    draw_projected_box3d,
+    show_image_with_boxes,
+    show_lidar_on_image,
+)
+
+from tests.test_data_kitti import make_kitti_fixture
+
+
+@pytest.fixture
+def kitti_frame(tmp_path):
+    make_kitti_fixture(str(tmp_path))
+    root = str(tmp_path / "training")
+    calib = Calibration(f"{root}/calib/000000.txt")
+    objects = read_label(f"{root}/label_2/000000.txt")
+    pc = np.fromfile(f"{root}/velodyne/000000.bin", np.float32).reshape(-1, 4)
+    from PIL import Image
+    img = np.asarray(Image.open(f"{root}/image_2/000000.png"))
+    return img, objects, calib, pc
+
+
+def test_compute_box_3d_projects_into_2d_bbox(kitti_frame):
+    img, objects, calib, _ = kitti_frame
+    obj = objects[0]
+    corners_2d, corners_3d = compute_box_3d(obj, calib.P)
+    assert corners_2d.shape == (8, 2) and corners_3d.shape == (8, 3)
+    # corners project inside (a small margin of) the label's 2D bbox
+    assert corners_2d[:, 0].min() >= obj.xmin - 2
+    assert corners_2d[:, 0].max() <= obj.xmax + 2
+    assert corners_2d[:, 1].min() >= obj.ymin - 2
+    assert corners_2d[:, 1].max() <= obj.ymax + 2
+    # bottom ring at y=t[1] (kitti t sits on the ground), top ring at t[1]-h
+    np.testing.assert_allclose(corners_3d[:4, 1], obj.t[1], atol=1e-6)
+    np.testing.assert_allclose(corners_3d[4:, 1], obj.t[1] - obj.h, atol=1e-6)
+
+
+def test_compute_box_3d_behind_camera():
+    obj = Object3d("Car 0.00 0 0.0 0 0 0 0 1.6 1.9 4.4 0.0 1.6 -5.0 0.0")
+    P = np.concatenate([np.eye(3) * 700.0, np.zeros((3, 1))], axis=1)
+    corners_2d, corners_3d = compute_box_3d(obj, P)
+    assert corners_2d is None and corners_3d.shape == (8, 3)
+
+
+def test_show_image_with_boxes_draws(kitti_frame):
+    img, objects, calib, _ = kitti_frame
+    img1, img2 = show_image_with_boxes(img, objects, calib)
+    assert img1.shape == img.shape and img2.shape == img.shape
+    # green pixels appear where the rect/wireframe was drawn
+    green = np.array([0, 255, 0], np.uint8)
+    assert (img1 == green).all(-1).any() and (img2 == green).all(-1).any()
+    # the non-Car distractor line (occl 3, still type Car) draws; a DontCare
+    # object must be skipped entirely
+    dc = Object3d("DontCare -1 -1 -10 0 0 50 50 -1 -1 -1 -1000 -1000 -1000 -10")
+    a, b = show_image_with_boxes(img, [dc], calib)
+    np.testing.assert_array_equal(a, img)
+    np.testing.assert_array_equal(b, img)
+
+
+def test_show_lidar_on_image_splat(kitti_frame):
+    img, _, calib, pc = kitti_frame
+    out = show_lidar_on_image(pc, img, calib, img.shape[1], img.shape[0])
+    assert out.shape == img.shape
+    assert (out != img).any()  # points were splatted
+    # draws only at the fixture's in-box point projections (car region)
+    changed = np.argwhere((out != img).any(-1))
+    assert changed[:, 1].min() >= 0 and changed.size > 0
