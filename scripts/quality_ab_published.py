@@ -1,0 +1,125 @@
+"""Published-config quality A/B: flax (XLA autodiff) vs fused Pallas kernels.
+
+Round-2 ran this A/B at latent-64; this runs it at the PUBLISHED architecture
+(latent 256, 3 shape / 1 texture blocks, 100-iteration TTO protocol at
+1024 rays x 64 samples):
+  1. train SUPNeRF on synthetic objects THROUGH the fused pallas train path,
+  2. run the full TTO protocol on held-out objects twice — field_impl=flax
+     and field_impl=pallas — with identical seeds and inputs,
+  3. print the parity table (budget: <=0.1 dB PSNR, <=1% pose/depth —
+     BASELINE.md).
+
+Runs on the real TPU (the flax TTO at batch 16 fits in HBM for 100 iters
+with remat). ~15 min wall including compiles.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+import jax.numpy as jnp
+
+from supnerf_tpu.data.synthetic import make_object_batch, make_synthetic_object
+from supnerf_tpu.models import build_model
+from supnerf_tpu.tto.core import ObjectBatch, TTOConfig, run_tto_batch
+from supnerf_tpu.training.trainer import UnifiedTrainer
+
+PUB_HP = {
+    "arch": "supnerf",
+    "net_hyperparams": {"shape_blocks": 3, "texture_blocks": 1,
+                        "latent_dim": 256, "pose_shortcut": 1, "pred_wlh": 0},
+    "n_rays": 1024, "n_samples": 64, "in_img_sz": 128, "render_im_sz": 32,
+    "roi_margin": 5, "loss_occ_coef": 0.1, "loss_code_coef": 0.1,
+    "loss_pose_coef": 0.01, "shapenet_obj_cood": 1, "sym_aug": 0,
+    "lr_schedule": [{"lr": 1e-4, "interval": 40000},
+                    {"lr": 1e-4, "interval": 40000}],
+}
+
+N_TRAIN_OBJ = int(os.environ.get("AB_TRAIN_OBJECTS", "256"))
+EPOCHS = int(os.environ.get("AB_EPOCHS", "40"))
+BATCH = int(os.environ.get("AB_BATCH", "16"))
+N_EVAL = int(os.environ.get("AB_EVAL_OBJECTS", "16"))
+NUM_OPTS = int(os.environ.get("AB_NUM_OPTS", "100"))
+
+
+class SynthDataset:
+    def __init__(self, n, seed0=0):
+        self.samples = [make_synthetic_object(seed=seed0 + i) for i in range(n)]
+        for i, s in enumerate(self.samples):
+            s["instoken"] = f"ins_{i}"
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def main():
+    out_dir = os.environ.get("AB_OUT", "/tmp/quality_ab_published")
+    model = build_model("supnerf", PUB_HP["net_hyperparams"])
+    ds = SynthDataset(N_TRAIN_OBJ)
+    tr = UnifiedTrainer(model, PUB_HP, ds, os.path.join(out_dir, "ckpt"),
+                        batch_size=BATCH, check_iter=10 ** 9,
+                        field_impl="pallas", save_every=10 ** 9)
+    t0 = time.time()
+    tr.train(epochs=EPOCHS)
+    print(f"trained {int(tr.state.niter)} steps in {time.time() - t0:.0f}s; "
+          f"last loss {tr.metrics_history[-1]['loss_total']:.3f} "
+          f"psnr {tr.metrics_history[-1].get('psnr', float('nan')):.2f}",
+          flush=True)
+
+    variables = {"params": tr.state.params,
+                 "batch_stats": tr.state.batch_stats}
+    mean_shape = jnp.asarray(np.asarray(tr.state.shape_codes).mean(0))
+    mean_texture = jnp.asarray(np.asarray(tr.state.texture_codes).mean(0))
+
+    # held-out objects (seeds beyond the training range), published protocol
+    raw, _ = make_object_batch(N_EVAL, seed=N_TRAIN_OBJ + 1000, in_img_sz=128,
+                               render_im_sz=32, n_lidar=256)
+    batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+
+    rows = {}
+    for impl in ("flax", "pallas"):
+        cfg = TTOConfig(num_opts=NUM_OPTS, reg_iters=3, n_samples=64,
+                        render_im_sz=32, in_img_sz=128, n_lidar=256,
+                        field_impl=impl, remat_field=(impl == "flax"))
+        fn = jax.jit(lambda v, b, k, _cfg=cfg: run_tto_batch(
+            model, v, b, mean_shape, mean_texture, _cfg, k))
+        t0 = time.time()
+        res = jax.tree.map(np.asarray, fn(variables, batch, jax.random.PRNGKey(7)))
+        rows[impl] = {
+            "psnr": (float(res["psnr"][:, 0].mean()),
+                     float(res["psnr"][:, -1].mean())),
+            "rot": (float(res["rot_err"][:, 0].mean()),
+                    float(res["rot_err"][:, -1].mean())),
+            "trans": (float(res["trans_err"][:, 0].mean()),
+                      float(res["trans_err"][:, -1].mean())),
+            "depth": (float(res["depth_err"][:, 0].mean()),
+                      float(res["depth_err"][:, -1].mean())),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(impl, json.dumps(rows[impl]), flush=True)
+
+    d_psnr = abs(rows["flax"]["psnr"][1] - rows["pallas"]["psnr"][1])
+    rel = {k: abs(rows["flax"][k][1] - rows["pallas"][k][1])
+           / max(abs(rows["flax"][k][1]), 1e-9)
+           for k in ("rot", "trans", "depth")}
+    print(json.dumps({"final_psnr_delta_db": round(d_psnr, 3),
+                      "rel_err_deltas": {k: round(v, 4) for k, v in rel.items()},
+                      "within_budget": bool(d_psnr <= 0.1
+                                            and all(v <= 0.01 for v in rel.values()))}))
+
+
+if __name__ == "__main__":
+    main()

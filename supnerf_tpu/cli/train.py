@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--num_objects", type=int, default=32)
     p.add_argument("--check_iter", type=int, default=1000)
+    p.add_argument("--save_every", type=int, default=1,
+                   help="checkpoint every N epochs (last epoch always "
+                        "saved); 1 matches the reference's per-epoch saves")
     p.add_argument("--field_impl", type=str, default="flax",
                    choices=["flax", "pallas"],
                    help="NeRF branch: XLA autodiff (flax) or the fused "
@@ -68,7 +71,7 @@ def main(argv=None):
         aug_wlh=args.aug_wlh, aug_box2d=args.aug_box2d,
         finetune_wlh=args.finetune_wlh, n_devices=args.devices,
         seed=args.seed, check_iter=args.check_iter,
-        field_impl=args.field_impl,
+        field_impl=args.field_impl, save_every=args.save_every,
     )
     if args.resume_from_epoch is not None:
         trainer.resume_from_epoch(args.resume_dir or save_dir, args.resume_from_epoch)

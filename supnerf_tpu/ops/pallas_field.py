@@ -405,44 +405,48 @@ def _field_bwd_kernel(n_shape: int, n_tex: int, dtype, l_xyz: int, l_dir: int,
     dd = jnp.concatenate([d * (2.0 ** i) for i in range(l_dir)], axis=1)
     dpe = jnp.concatenate([d, jnp.sin(dd), jnp.cos(dd)], axis=1)
 
-    y0 = jnp.maximum(mm(xpe, wxyz_ref[:]) + cast(bxyz_ref[:]), 0)
+    # relu outputs survive only as sign masks in the transposed chain, so
+    # the stash keeps them in the matmul dtype (sign-preserving; halves the
+    # VMEM the stash pins — same reasoning as _field_train_bwd_kernel)
+    stash = lambda t: t.astype(dtype)
+    y0 = stash(jnp.maximum(mm(xpe, wxyz_ref[:]) + cast(bxyz_ref[:]), 0))
     ys = []
     y = y0
     for j in range(n_shape):
-        y = jnp.maximum(mm(y + cast(zs_ref[j][None, :]), wsh_ref[j])
-                        + cast(bsh_ref[j][None, :]), 0)
+        y = stash(jnp.maximum(mm(cast(y) + cast(zs_ref[j][None, :]),
+                                 wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0))
         ys.append(y)
-    e = mm(y, wes_ref[:]) + cast(bes_ref[:])
+    e = mm(cast(y), wes_ref[:]) + cast(bes_ref[:])
     sig_gate = jax.nn.sigmoid(mm(e, wsg_ref[:]) + cast(bsg_ref[:]))  # (m, 1)
-    v = jnp.maximum(mm(e, wvd_a_ref[:]) + mm(dpe, wvd_b_ref[:])
-                    + cast(bvd_ref[:]), 0)
+    v = stash(jnp.maximum(mm(e, wvd_a_ref[:]) + mm(dpe, wvd_b_ref[:])
+                          + cast(bvd_ref[:]), 0))
     hs = []
     h = v
     for j in range(n_tex):
-        h = jnp.maximum(mm(h + cast(zt_ref[j][None, :]), wtx_ref[j])
-                        + cast(btx_ref[j][None, :]), 0)
+        h = stash(jnp.maximum(mm(cast(h) + cast(zt_ref[j][None, :]),
+                                 wtx_ref[j]) + cast(btx_ref[j][None, :]), 0))
         hs.append(h)
-    hh = jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0)
+    hh = stash(jnp.maximum(mm(cast(h), wr1_ref[:]) + cast(br1_ref[:]), 0))
 
     # ---- transposed chain ---------------------------------------------------
-    g_hh = jnp.where(hh > 0, mm_t(cast(drgb_ref[:]), wr2_ref[:]), 0.0)
+    g_hh = jnp.where(cast(hh) > 0, mm_t(cast(drgb_ref[:]), wr2_ref[:]), 0.0)
     g = mm_t(g_hh, wr1_ref[:])
     dzt_rows = [None] * n_tex
     for j in reversed(range(n_tex)):
-        g = jnp.where(hs[j] > 0, g, 0.0)
+        g = jnp.where(cast(hs[j]) > 0, g, 0.0)
         g = mm_t(g, wtx_ref[j])
         dzt_rows[j] = jnp.sum(g, axis=0)
-    g_v = jnp.where(v > 0, g, 0.0)
+    g_v = jnp.where(cast(v) > 0, g, 0.0)
     dvd_ref[:] = _pe_bwd_rank2(d, dd, mm_t(g_v, wvd_b_ref[:]), l_dir)
     g_sig = cast(dsig_ref[:]) * sig_gate                       # (m, 1)
     g_e = mm_t(g_v, wvd_a_ref[:]) + mm_t(g_sig, wsg_ref[:])
     g = mm_t(g_e, wes_ref[:])
     dzs_rows = [None] * n_shape
     for j in reversed(range(n_shape)):
-        g = jnp.where(ys[j] > 0, g, 0.0)
+        g = jnp.where(cast(ys[j]) > 0, g, 0.0)
         g = mm_t(g, wsh_ref[j])
         dzs_rows[j] = jnp.sum(g, axis=0)
-    g = jnp.where(y0 > 0, g, 0.0)
+    g = jnp.where(cast(y0) > 0, g, 0.0)
     dxyz_ref[:] = _pe_bwd_rank2(x, xx, mm_t(g, wxyz_ref[:]), l_xyz)
     dzs_ref[:] = jnp.stack(dzs_rows)[None]
     dzt_ref[:] = jnp.stack(dzt_rows)[None]
@@ -676,33 +680,38 @@ def _field_train_bwd_kernel(n_shape: int, n_tex: int, dtype,
     def cast(x):
         return x.astype(f32)
 
-    # ---- forward recompute (keep layer INPUTS for weight grads) -------------
-    xpe = cast(xpe_ref[:])
-    dpe = cast(dpe_ref[:])
+    # ---- forward recompute -------------------------------------------------
+    # The stash (relu outputs + e) is kept in the MATMUL dtype: every use —
+    # weight-grad/transposed matmuls and the relu sign masks — consumes the
+    # dtype-cast value anyway, so a bf16 stash is numerically equivalent
+    # (double-rounding of the +latent sums is sub-bf16-ulp) and halves the
+    # VMEM the stash pins across the backward, which is what capped tile_bwd
+    # at 512 (VALIDATION.md round-2 tile sweep). Layer INPUTS
+    # (a_j = y_{j-1} + zs_j) are recomputed from the stash at weight-grad
+    # time instead of being stored.
+    xpe = xpe_ref[:]
+    dpe = dpe_ref[:]
     zs = cast(zs_ref[0])
     zt = cast(zt_ref[0])
-    y0 = jnp.maximum(mm(xpe, wxyz_ref[:]) + cast(bxyz_ref[:]), 0)
-    a_in = []          # inputs to each shape matmul (y_prev + zs_j)
-    ys = []            # relu outputs (masks)
+    stash = lambda x: x.astype(dtype)
+    y0 = stash(jnp.maximum(mm(xpe, wxyz_ref[:]) + cast(bxyz_ref[:]), 0))
+    ys = []            # relu outputs (stash; also the masks)
     y = y0
     for j in range(n_shape):
-        a = y + zs[j][None, :]
-        a_in.append(a)
-        y = jnp.maximum(mm(a, wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0)
+        a = cast(y) + zs[j][None, :]
+        y = stash(jnp.maximum(mm(a, wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0))
         ys.append(y)
-    e = mm(y, wes_ref[:]) + cast(bes_ref[:])
+    e = stash(mm(y, wes_ref[:]) + cast(bes_ref[:]))
     sig_gate = jax.nn.sigmoid(mm(e, wsg_ref[:]) + cast(bsg_ref[:]))
-    v = jnp.maximum(mm(e, wvd_a_ref[:]) + mm(dpe, wvd_b_ref[:])
-                    + cast(bvd_ref[:]), 0)
-    b_in = []
+    v = stash(jnp.maximum(mm(e, wvd_a_ref[:]) + mm(dpe, wvd_b_ref[:])
+                          + cast(bvd_ref[:]), 0))
     hs = []
     h = v
     for j in range(n_tex):
-        b = h + zt[j][None, :]
-        b_in.append(b)
-        h = jnp.maximum(mm(b, wtx_ref[j]) + cast(btx_ref[j][None, :]), 0)
+        b = cast(h) + zt[j][None, :]
+        h = stash(jnp.maximum(mm(b, wtx_ref[j]) + cast(btx_ref[j][None, :]), 0))
         hs.append(h)
-    hh = jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0)
+    hh = stash(jnp.maximum(mm(h, wr1_ref[:]) + cast(br1_ref[:]), 0))
 
     # ---- transposed chain + weight grads ------------------------------------
     first = i == 0
@@ -718,7 +727,7 @@ def _field_train_bwd_kernel(n_shape: int, n_tex: int, dtype,
     drgb = cast(drgb_ref[:])
     acc(dwr2_ref, mm_xg(hh, drgb), first)
     acc(dbr2_ref, jnp.sum(drgb, axis=0)[None], first)
-    g_hh = jnp.where(hh > 0, mm_t(drgb, wr2_ref[:]), 0.0)
+    g_hh = jnp.where(cast(hh) > 0, mm_t(drgb, wr2_ref[:]), 0.0)
     acc(dwr1_ref, mm_xg(hs[-1], g_hh), first)
     acc(dbr1_ref, jnp.sum(g_hh, axis=0)[None], first)
     g = mm_t(g_hh, wr1_ref[:])
@@ -726,15 +735,16 @@ def _field_train_bwd_kernel(n_shape: int, n_tex: int, dtype,
     dwtx_rows = [None] * n_tex
     dbtx_rows = [None] * n_tex
     for j in reversed(range(n_tex)):
-        g = jnp.where(hs[j] > 0, g, 0.0)
-        dwtx_rows[j] = mm_xg(b_in[j], g)
+        g = jnp.where(cast(hs[j]) > 0, g, 0.0)
+        b_j = cast(hs[j - 1] if j else v) + zt[j][None, :]
+        dwtx_rows[j] = mm_xg(b_j, g)
         dbtx_rows[j] = jnp.sum(g, axis=0)
         g = mm_t(g, wtx_ref[j])
         dzt_rows[j] = jnp.sum(g, axis=0)
     acc(dwtx_ref, jnp.stack(dwtx_rows), first)
     acc(dbtx_ref, jnp.stack(dbtx_rows), first)
     acc(dzt_ref, jnp.stack(dzt_rows)[None], obj_first)
-    g_v = jnp.where(v > 0, g, 0.0)
+    g_v = jnp.where(cast(v) > 0, g, 0.0)
     acc(dwvd_b_ref, mm_xg(dpe, g_v), first)
     acc(dbvd_ref, jnp.sum(g_v, axis=0)[None], first)
     ddpe_ref[:] = mm_t(g_v, wvd_b_ref[:])
@@ -750,15 +760,16 @@ def _field_train_bwd_kernel(n_shape: int, n_tex: int, dtype,
     dwsh_rows = [None] * n_shape
     dbsh_rows = [None] * n_shape
     for j in reversed(range(n_shape)):
-        g = jnp.where(ys[j] > 0, g, 0.0)
-        dwsh_rows[j] = mm_xg(a_in[j], g)
+        g = jnp.where(cast(ys[j]) > 0, g, 0.0)
+        a_j = cast(ys[j - 1] if j else y0) + zs[j][None, :]
+        dwsh_rows[j] = mm_xg(a_j, g)
         dbsh_rows[j] = jnp.sum(g, axis=0)
         g = mm_t(g, wsh_ref[j])
         dzs_rows[j] = jnp.sum(g, axis=0)
     acc(dwsh_ref, jnp.stack(dwsh_rows), first)
     acc(dbsh_ref, jnp.stack(dbsh_rows), first)
     acc(dzs_ref, jnp.stack(dzs_rows)[None], obj_first)
-    g = jnp.where(y0 > 0, g, 0.0)
+    g = jnp.where(cast(y0) > 0, g, 0.0)
     acc(dwxyz_ref, mm_xg(xpe, g), first)
     acc(dbxyz_ref, jnp.sum(g, axis=0)[None], first)
     dxpe_ref[:] = mm_t(g, wxyz_ref[:])

@@ -72,7 +72,7 @@ class UnifiedTrainer:
                  aug_box2d: bool = False, finetune_wlh: bool = False,
                  n_devices: int | None = None, seed: int = 0,
                  check_iter: int = 1000, log_writer=None,
-                 field_impl: str = "flax"):
+                 field_impl: str = "flax", save_every: int = 1):
         self.model = model
         self.hpams = hpams
         self.dataset = dataset
@@ -87,6 +87,10 @@ class UnifiedTrainer:
         self.key = jax.random.PRNGKey(seed)
         self.nepoch = 0
         self.check_iter = check_iter
+        # per-epoch checkpoints match the reference (save_models :387); >1
+        # amortizes the full-state device_get on short epochs (the transfer
+        # costs more than 16 train steps through the TPU tunnel)
+        self.save_every = max(int(save_every), 1)
 
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
@@ -189,10 +193,13 @@ class UnifiedTrainer:
     def train(self, epochs: int):
         while self.nepoch < epochs:
             self.training_epoch()
-            # device_get fetches the whole state with async per-leaf copies
-            # (one round-trip latency), not one blocking transfer per leaf
-            save_checkpoint(self.save_dir, jax.device_get(self.state),
-                            self.nepoch, self.instoken2idx)
+            if (self.nepoch + 1) % self.save_every == 0 or \
+                    self.nepoch == epochs - 1:
+                # device_get fetches the whole state with async per-leaf
+                # copies (one round-trip latency), not one blocking transfer
+                # per leaf
+                save_checkpoint(self.save_dir, jax.device_get(self.state),
+                                self.nepoch, self.instoken2idx)
             self.nepoch += 1
         return self.state
 

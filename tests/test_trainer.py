@@ -81,3 +81,20 @@ def test_codenerf_trainer_no_encoder(tmp_path):
                         batch_size=2, loss_mode="nerf_only")
     tr.training_epoch()
     assert np.isfinite(tr.metrics_history[-1]["loss_total"])
+
+
+def test_save_every_amortizes_checkpoints(tmp_path):
+    """save_every=2 skips intermediate epochs but always saves the last."""
+    model = build_model("supnerf", TINY_HP["net_hyperparams"])
+    ds = SynthDataset(2)
+    tr = UnifiedTrainer(model, TINY_HP, ds, str(tmp_path / "ckpt"),
+                        batch_size=2, check_iter=10 ** 9, log_writer=False,
+                        save_every=2)
+    tr.train(epochs=3)
+    assert not os.path.isdir(str(tmp_path / "ckpt" / "epoch_0"))
+    assert os.path.isdir(str(tmp_path / "ckpt" / "epoch_1"))   # (1+1) % 2 == 0
+    assert os.path.isdir(str(tmp_path / "ckpt" / "epoch_2"))   # last epoch
+    import json as _json
+
+    with open(str(tmp_path / "ckpt" / "latest.json")) as f:
+        assert _json.load(f)["nepoch"] == 2
