@@ -72,12 +72,15 @@ def main():
     tr = UnifiedTrainer(model, PUB_HP, ds, os.path.join(out_dir, "ckpt"),
                         batch_size=BATCH, check_iter=10 ** 9,
                         field_impl="pallas", save_every=10 ** 9)
-    t0 = time.time()
-    tr.train(epochs=EPOCHS)
-    print(f"trained {int(tr.state.niter)} steps in {time.time() - t0:.0f}s; "
-          f"last loss {tr.metrics_history[-1]['loss_total']:.3f} "
-          f"psnr {tr.metrics_history[-1].get('psnr', float('nan')):.2f}",
-          flush=True)
+    if os.environ.get("AB_RESUME"):  # reuse an earlier run's trained weights
+        tr.resume_from_epoch(os.environ["AB_RESUME"])
+    else:
+        t0 = time.time()
+        tr.train(epochs=EPOCHS)
+        print(f"trained {int(tr.state.niter)} steps in {time.time() - t0:.0f}s; "
+              f"last loss {tr.metrics_history[-1]['loss_total']:.3f} "
+              f"psnr {tr.metrics_history[-1].get('psnr', float('nan')):.2f}",
+              flush=True)
 
     variables = {"params": tr.state.params,
                  "batch_stats": tr.state.batch_stats}
@@ -85,8 +88,17 @@ def main():
     mean_texture = jnp.asarray(np.asarray(tr.state.texture_codes).mean(0))
 
     # held-out objects (seeds beyond the training range), published protocol
+    # with random initial poses (reference test protocol add_pose_err=2) so
+    # the TTO actually has pose error to recover
     raw, _ = make_object_batch(N_EVAL, seed=N_TRAIN_OBJ + 1000, in_img_sz=128,
                                render_im_sz=32, n_lidar=256)
+    from supnerf_tpu.geometry import poses as pose_gen
+    keys = jax.random.split(jax.random.PRNGKey(11), N_EVAL)
+    roi_key = "rois" if "rois" in raw else "roi_nerf"
+    init = jax.vmap(lambda k, K, roi: pose_gen.get_random_pose2(
+        k, K, roi.astype(jnp.float32)))(
+        keys, jnp.asarray(raw["K"]), jnp.asarray(raw[roi_key]))
+    raw["pose_init"] = np.asarray(init)
     batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
 
     rows = {}
