@@ -118,6 +118,9 @@ class TTODriver:
         # host-side generator for mode-1 error injection (sign choices);
         # seeded so the controlled-error protocol is reproducible
         self.np_rng = np.random.default_rng(seed)
+        from supnerf_tpu.utils.profiling import PhaseTimer
+
+        self.timer = PhaseTimer()
         self.cfg = cfg if cfg is not None else tto_config_from_hpams(
             hpams, reg_iters=reg_iters, opt_pose=opt_pose,
             dataset_frame=dataset_frame, pred_wlh=pred_wlh,
@@ -238,10 +241,6 @@ class TTODriver:
         return inputs, sample
 
     def _prep_batch(self, idxs):
-        from supnerf_tpu.utils.profiling import PhaseTimer
-
-        if not hasattr(self, "timer"):
-            self.timer = PhaseTimer()
         # pin the prep math (random pose init, frame conversions — eager jnp)
         # to the host CPU device: through this environment's TPU tunnel each
         # eager op costs a ~0.4 s round trip PER OBJECT otherwise, which made
@@ -254,10 +253,6 @@ class TTODriver:
         """CPU-pinned host prep for the multiview / cross-view paths (same
         tunnel-round-trip fix as _prep_batch; these call sites previously ran
         _prep_one eagerly on the default device at ~0.4 s/object)."""
-        from supnerf_tpu.utils.profiling import PhaseTimer
-
-        if not hasattr(self, "timer"):
-            self.timer = PhaseTimer()
         cpu = jax.local_devices(backend="cpu")[0]
         with self.timer.phase("host_prep"), jax.default_device(cpu):
             return [self._prep_one(i)[0] for i in idxs]
@@ -300,8 +295,7 @@ class TTODriver:
         # results (one-way read of reference .pth already exists in
         # eval/aggregate.py; this closes the loop in the other direction)
         self.save_results_pth()
-        if hasattr(self, "timer"):
-            print("phase timing:\n" + self.timer.report())
+        print("phase timing:\n" + self.timer.report())
         return self.results_dict()
 
     def optimize_object_batch(self, idxs, prepped=None, samples=None):
@@ -555,7 +549,9 @@ class TTODriver:
         import torch
 
         def t(x):
-            return torch.from_numpy(np.asarray(x, np.float32))
+            # np.array (copy) — jax device arrays expose read-only buffers,
+            # which torch.from_numpy warns about
+            return torch.from_numpy(np.array(x, np.float32))
 
         saved = {
             "num_obj": len(self.psnr_eval),
