@@ -906,9 +906,17 @@ def field_train_pallas(packed: dict, xyz, viewdir, shapecodes, texturecodes, *,
     B = xyz.shape[0]
     lead_shape = xyz.shape[:-1]
     per_obj = int(np.prod(xyz.shape[1:-1])) if xyz.ndim > 2 else 1
-    pe = _pe_for_dtype(dtype)
-    xpe = pe(xyz.reshape(-1, 3), num_xyz_freq)
-    dpe = pe(viewdir.reshape(-1, 3), num_dir_freq)
+    # Classic sin/cos PE here, NOT the doubling recurrence: inside the train
+    # step's grad graph XLA materializes the recurrence's ~2*degree chained
+    # (m, 3) intermediates as separate while-body temps, each padded 42.7x by
+    # the (8, 128) tile (3 -> 128 lanes) — ~30 GB at the published batch 48,
+    # an instant HBM OOM (measured round 3). Classic PE's two (m, 3*degree)
+    # arrays tile fine, and PE is <2% of the train step (VALIDATION.md train
+    # decomposition), so the doubling variant's VPU savings are irrelevant
+    # here — it stays on the forward render/TTO paths where it was measured
+    # to win and where XLA fuses the intermediates away.
+    xpe = positional_encoding(xyz.reshape(-1, 3), num_xyz_freq)
+    dpe = positional_encoding(viewdir.reshape(-1, 3), num_dir_freq)
     zs, zt = conditioned_latents_batched(packed, shapecodes, texturecodes)
     _check_block_counts(zs, zt, shape_blocks, texture_blocks)
 
