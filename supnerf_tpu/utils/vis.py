@@ -193,3 +193,95 @@ def show_lidar_on_image(pc_velo: np.ndarray, img: np.ndarray, calib,
                          int(np.round(imgfov_pts_2d[i, 1]))),
                    2, color=tuple(color), thickness=-1)
     return img
+
+def draw_lidar_3d(ax, pc: np.ndarray, color_by: str = "depth",
+                  pts_color=None, max_pts: int = 50000, s: float = 0.5):
+    """Scatter a lidar cloud onto a matplotlib 3D axes (headless equivalent
+    of the vendored mayavi viz_util.draw_lidar, kitti_object_vis/viz_util.py
+    :156-317 — same gnuplot colormap, color-by-height default replaced by an
+    explicit color_by selector). pc: (N, >=3); color_by: 'depth' (distance
+    from origin), 'height' (z, the mayavi default), 'intensity' (column 3),
+    or None with pts_color an RGB tuple."""
+    pc = np.asarray(pc)
+    if pc.shape[0] > max_pts:            # decimate huge clouds for plotting
+        pc = pc[:: pc.shape[0] // max_pts + 1]
+    if pts_color is not None or color_by is None:
+        ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], c=[pts_color or (1, 1, 1)],
+                   s=s, depthshade=False)
+        return
+    if color_by == "height":
+        c = pc[:, 2]
+    elif color_by == "intensity" and pc.shape[1] > 3:
+        c = pc[:, 3]
+    else:
+        c = np.linalg.norm(pc[:, :3], axis=1)
+    ax.scatter(pc[:, 0], pc[:, 1], pc[:, 2], c=c, cmap="gnuplot", s=s,
+               depthshade=False)
+
+
+def draw_boxes3d_on_axes(ax, boxes3d, color=(0, 1, 0), label: str = "",
+                         linewidth: float = 1.0):
+    """Wireframe 3D boxes on a matplotlib 3D axes (viz_util.draw_gt_boxes3d
+    :319-393 semantics: bottom ring 0-3, top ring 4-7, pillars; optional
+    label text at corner 4). boxes3d: iterable of (8, 3) corner arrays."""
+    for b in boxes3d:
+        b = np.asarray(b)
+        for k in range(4):
+            for i, j in ((k, (k + 1) % 4), (k + 4, (k + 1) % 4 + 4),
+                         (k, k + 4)):
+                ax.plot([b[i, 0], b[j, 0]], [b[i, 1], b[j, 1]],
+                        [b[i, 2], b[j, 2]], color=color, linewidth=linewidth)
+        if label:
+            ax.text(b[4, 0], b[4, 1], b[4, 2], label, color=color, fontsize=7)
+
+
+def show_lidar_with_boxes_3d(pc_velo: np.ndarray, objects, calib,
+                             img_fov: bool = False, img_width: int = 0,
+                             img_height: int = 0, fig_size=(12, 8),
+                             elev: float = 20.0, azim: float = 180.0):
+    """Render the 3D lidar+boxes debug view to an RGB array (headless
+    equivalent of kitti_object.show_lidar_with_boxes :537-607, which drives
+    the vendored mayavi viz_util; mayavi is interactive-only and absent from
+    this image). The scene is displayed in the velodyne-style frame the mayavi
+    view used (x forward, y left, z up); boxes come from compute_box_3d in
+    rect-camera coords and are remapped (x,y,z)_rect -> (z, -x, -y)_display.
+    objects: data.kitti_format.Object3d list; calib: Calibration."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    def rect_to_display(p):
+        return np.stack([p[:, 2], -p[:, 0], -p[:, 1]], 1)
+
+    pc_velo = np.asarray(pc_velo)
+    if img_fov:
+        from supnerf_tpu.data.kitti_format import get_lidar_in_image_fov
+
+        pc_velo = get_lidar_in_image_fov(pc_velo[:, :3], calib, 0, 0,
+                                         img_width, img_height)
+    pc_rect = calib.project_velo_to_rect(pc_velo[:, :3])
+    fig = plt.figure(figsize=fig_size)
+    ax = fig.add_subplot(111, projection="3d")
+    ax.set_facecolor("black")
+    draw_lidar_3d(ax, rect_to_display(pc_rect))
+    for obj in objects:
+        if obj.type == "DontCare":
+            continue
+        _, corners_3d = compute_box_3d(obj, calib.P)
+        draw_boxes3d_on_axes(ax, [rect_to_display(corners_3d)],
+                             color=tuple(np.asarray(_KITTI_BOX_COLORS.get(
+                                 obj.type, (0, 255, 0))) / 255.0),
+                             label=obj.type)
+    ax.set_xlabel("x (forward, m)")
+    ax.set_ylabel("y (left, m)")
+    ax.set_zlabel("z (up, m)")
+    # equal data aspect (mayavi's default) — matplotlib 3D otherwise scales
+    # each axis independently and stretches the scene
+    spans = np.array([np.ptp(lim) for lim in
+                      (ax.get_xlim(), ax.get_ylim(), ax.get_zlim())])
+    ax.set_box_aspect(np.maximum(spans, 1e-3))
+    ax.view_init(elev=elev, azim=azim)
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return buf

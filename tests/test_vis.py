@@ -71,3 +71,38 @@ def test_show_lidar_on_image_splat(kitti_frame):
     # draws only at the fixture's in-box point projections (car region)
     changed = np.argwhere((out != img).any(-1))
     assert changed[:, 1].min() >= 0 and changed.size > 0
+
+
+def test_show_lidar_with_boxes_3d_renders(kitti_frame):
+    # headless equivalent of the vendored mayavi show_lidar_with_boxes
+    # (kitti_object.py:537-607 / viz_util.py:156-393)
+    from supnerf_tpu.utils.vis import show_lidar_with_boxes_3d
+
+    img, objects, calib, pc = kitti_frame
+    out = show_lidar_with_boxes_3d(pc, objects, calib, fig_size=(4, 3))
+    assert out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+    assert out.std() > 0  # something was drawn
+
+    fov = show_lidar_with_boxes_3d(pc, objects, calib, img_fov=True,
+                                   img_width=img.shape[1],
+                                   img_height=img.shape[0], fig_size=(4, 3))
+    assert fov.shape == out.shape
+
+
+def test_draw_boxes3d_on_axes_draws_edges():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from supnerf_tpu.utils.vis import draw_boxes3d_on_axes, draw_lidar_3d
+
+    fig = plt.figure(figsize=(3, 3))
+    ax = fig.add_subplot(111, projection="3d")
+    box = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float64)
+    draw_boxes3d_on_axes(ax, [box], label="Car")
+    assert len(ax.lines) == 12  # 4 bottom + 4 top + 4 pillars
+    draw_lidar_3d(ax, np.random.default_rng(0).normal(size=(100, 4)),
+                  color_by="intensity")
+    assert len(ax.collections) == 1
+    plt.close(fig)
