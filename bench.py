@@ -122,17 +122,21 @@ def bench_tto_product():
                        "lr_pose": 0.01, "lr_half_interval": 1000}}
     model = build_model("supnerf", _PUBLISHED_HP)
     variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
+    import contextlib
+
     with tempfile.TemporaryDirectory() as tmp:
         drv = TTODriver(model, variables, np.zeros(256, np.float32),
                         np.zeros(256, np.float32), hp, _DS(bs), tmp,
                         batch_size=bs, reg_iters=3, add_pose_err=2,
                         save_freq=10 ** 9,
                         field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
-        drv.run()         # warmup: compile + first dispatch
-        drv.dataset = _DS(n_obj)
-        t0 = time.perf_counter()
-        drv.run()
-        dt = time.perf_counter() - t0
+        # driver progress prints go to stderr: bench stdout is ONE JSON line
+        with contextlib.redirect_stdout(sys.stderr):
+            drv.run()     # warmup: compile + first dispatch
+            drv.dataset = _DS(n_obj)
+            t0 = time.perf_counter()
+            drv.run()
+            dt = time.perf_counter() - t0
     return n_obj / dt * 60
 
 

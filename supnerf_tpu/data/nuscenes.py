@@ -22,9 +22,8 @@ import os
 
 import numpy as np
 
-from supnerf_tpu.data.common import NUSC_CAR_WLH_MEAN
-
 from supnerf_tpu.data.common import (
+    NUSC_CAR_WLH_MEAN,
     get_associate_box_3d,
     get_mask_occ_from_ins,
     get_tgt_ins_from_maskrcnn,

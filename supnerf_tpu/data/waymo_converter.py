@@ -300,3 +300,37 @@ def setup_split(data_dir: str, org_dir: str, split_list_file: str,
             out.write(new_id + "\n")
             linked.append(new_id)
     return linked
+
+
+def main(argv=None):
+    """CLI matching the reference converter's script usage
+    (data/Waymo/converter.py __main__: load_dir/save_dir/prefix/num_proc,
+    setup_split.py as a separate step)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("convert", help="TFRecord segments -> KITTI format")
+    c.add_argument("load_dir")
+    c.add_argument("save_dir")
+    c.add_argument("--prefix", default="")
+    c.add_argument("--workers", type=int, default=8)
+    c.add_argument("--test_mode", action="store_true")
+    s = sub.add_parser("setup-split", help="renumber per-segment files into "
+                                           "the flat training layout")
+    s.add_argument("data_dir")
+    s.add_argument("org_dir")
+    s.add_argument("split_list_file")
+    s.add_argument("out_split_file")
+    s.add_argument("--copy", action="store_true", help="copy instead of symlink")
+    args = ap.parse_args(argv)
+    if args.cmd == "convert":
+        WaymoToKITTI(args.load_dir, args.save_dir, prefix=args.prefix,
+                     workers=args.workers, test_mode=args.test_mode).convert()
+    else:
+        setup_split(args.data_dir, args.org_dir, args.split_list_file,
+                    args.out_split_file, symlink=not args.copy)
+
+
+if __name__ == "__main__":
+    main()

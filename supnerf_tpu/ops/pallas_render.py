@@ -44,12 +44,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from supnerf_tpu.models.nerf_mlp import (
-    positional_encoding,
-    positional_encoding_doubling,
-)
 from supnerf_tpu.ops.pallas_field import (
     _check_block_counts,
+    _pe_for_dtype,
     _field_chain_to_heads,
     _precast_weights,
     conditioned_latents,
@@ -285,10 +282,11 @@ def field_composite_pallas(packed: dict, xyz, viewdir, z_vals, shapecode,
         )
         lead_specs = [(m, 3), (m, 3)]
     else:
-        xpe = positional_encoding_doubling(
-            xyz.reshape(-1, 3), num_xyz_freq).astype(dtype)
-        dpe = positional_encoding_doubling(
-            viewdir, num_dir_freq).astype(dtype)   # (Rp, d) per ray
+        # same policy as pallas_field._pe_for_dtype: doubling recurrence only
+        # when the kernel casts to bf16 anyway; exact sin/cos at f32
+        pe = _pe_for_dtype(dtype)
+        xpe = pe(xyz.reshape(-1, 3), num_xyz_freq).astype(dtype)
+        dpe = pe(viewdir, num_dir_freq).astype(dtype)   # (Rp, d) per ray
         operands = (xpe, dpe, zs, zt) + wt[:15] + (wr2p, br2p)
         lead_specs = [(m, xpe.shape[-1]), (tile_r, dpe.shape[-1])]
 

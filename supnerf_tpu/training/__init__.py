@@ -6,3 +6,4 @@ from supnerf_tpu.training.train_step import (
     make_train_step,
     unified_loss,
 )
+from supnerf_tpu.training.trainer import UnifiedTrainer  # noqa: E402

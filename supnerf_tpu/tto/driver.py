@@ -65,6 +65,14 @@ def tto_config_from_hpams(hpams: dict, *, reg_iters: int = 3, opt_pose: int = 1,
         field_impl=field_impl,
         euler_rot=bool(hpams.get("euler_rot", 0)),
         opt_cam_pose=bool(opt.get("opt_cam_pose", 0)),
+        # box-limit density regularizer of the reference's no-pose TTO branch
+        # (optimizer_nuscenes.py:397-400). NOTE the adjacent jsonfiles keys
+        # loss_reg_coef and loss_sym_coef are dead in the reference too:
+        # loss_reg is logged but never added (trainer_unified_nuscenes.py:
+        # 143-148) and loss_sym (:1435) has no call site — so they are
+        # intentionally not plumbed anywhere here either.
+        obj_sz_reg=bool(hpams.get("obj_sz_reg", 0)),
+        loss_obj_sz_coef=float(hpams.get("loss_obj_sz_coef", 1.0)),
     )
 
 
@@ -121,6 +129,19 @@ class TTODriver:
         from supnerf_tpu.utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()
+        # the reference's non-BatchNorm encode path feeds a VARIABLE-size
+        # keep-ratio crop (preprocess_img_keepratio(max_img_sz), e.g.
+        # optimizer_nuscenes.py:179) — dynamic shapes this TPU pipeline does
+        # not support. All published configs use BatchNorm2d; fail loudly
+        # rather than silently substituting the square-pad preprocessing.
+        nl = hpams.get("net_hyperparams", {}).get("norm_layer_type",
+                                                  "BatchNorm2d")
+        if nl != "BatchNorm2d":
+            raise ValueError(
+                f"norm_layer_type={nl!r}: the keep-ratio (max_img_sz) encoder "
+                "preprocessing the reference pairs with non-BatchNorm "
+                "encoders needs dynamic input shapes; use a BatchNorm2d "
+                "config for TTO")
         self.cfg = cfg if cfg is not None else tto_config_from_hpams(
             hpams, reg_iters=reg_iters, opt_pose=opt_pose,
             dataset_frame=dataset_frame, pred_wlh=pred_wlh,
@@ -456,7 +477,8 @@ class TTODriver:
             views = render_virtual_views(
                 field, diag, np.asarray(inputs["K"]), n_samples=self.cfg.n_samples,
                 shapenet_obj_cood=self.cfg.shapenet_obj_cood, pan_num=8,
-                img_sz=min(sz, 64), kitti2nusc=self.cfg.kitti2nusc)
+                img_sz=min(sz, 64), kitti2nusc=self.cfg.kitti2nusc,
+                composite_fn=self._composite_for(sc, tc))
             imageio.imwrite(os.path.join(out_dir, "virt_final.png"),
                             virtual_view_sheet(np.asarray(views)))
 
@@ -468,15 +490,7 @@ class TTODriver:
     def _composite_for(self, sc, tc):
         """Fused forward field+compositing closure for the renderer
         composite_fn hooks (None on the flax path)."""
-        if self._pallas_field is None:
-            return None
-        from supnerf_tpu.ops.pallas_field import pack_decoder_params
-        from supnerf_tpu.ops.pallas_render import make_composite_fn
-
-        packed = pack_decoder_params(
-            self.variables["params"]["decoder"],
-            self._fwd_kw["shape_blocks"], self._fwd_kw["texture_blocks"])
-        return make_composite_fn(packed, self._kern_kw, sc, tc)
+        return self._composite_for_v(self.variables, sc, tc)
 
     def _field_for_v(self, variables, sc, tc):
         """Field closure over EXPLICIT variables — use inside jitted functions

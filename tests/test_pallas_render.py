@@ -116,8 +116,10 @@ def test_fused_render_opaque_and_empty_rays():
 
 
 def test_positional_encoding_doubling_matches_exact():
-    from supnerf_tpu.models.nerf_mlp import positional_encoding
-    from supnerf_tpu.ops.pallas_render import positional_encoding_doubling
+    from supnerf_tpu.models.nerf_mlp import (
+        positional_encoding,
+        positional_encoding_doubling,
+    )
 
     x = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (64, 3)),
                     jnp.float32)

@@ -189,3 +189,34 @@ def test_ood_flags_recorded(tmp_path):
     assert set(res["ood_flags"].keys()) == set(res["psnr_eval"].keys())
     assert all(isinstance(v, bool) for v in res["ood_flags"].values())
     assert res["num_ood"] == sum(res["ood_flags"].values())
+
+
+def test_hpams_regularizer_keys_plumb_to_config():
+    """obj_sz_reg / loss_obj_sz_coef are live keys in the reference's no-pose
+    TTO branch (optimizer_nuscenes.py:397-400) and must reach TTOConfig; the
+    dead reference keys (loss_reg_coef, loss_sym_coef — logged-only / no call
+    site) intentionally do not."""
+    hp = dict(TINY_HP)
+    hp.update(obj_sz_reg=1, loss_obj_sz_coef=0.5)
+    cfg = tto_config_from_hpams(hp)
+    assert cfg.obj_sz_reg is True and cfg.loss_obj_sz_coef == 0.5
+    cfg0 = tto_config_from_hpams(TINY_HP)
+    assert cfg0.obj_sz_reg is False
+
+
+def test_non_batchnorm_config_rejected(tmp_path):
+    """A non-BatchNorm encoder config must hard-fail: the reference pairs it
+    with variable-size keep-ratio preprocessing (optimizer_nuscenes.py:179,
+    max_img_sz) which this static-shape pipeline does not implement."""
+    import copy
+
+    import pytest
+
+    hp = copy.deepcopy(TINY_HP)
+    hp["net_hyperparams"]["norm_layer_type"] = "InstanceNorm2d"
+    model = build_model("supnerf", TINY_NET)
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+    with pytest.raises(ValueError, match="keep-ratio"):
+        TTODriver(model, variables, np.zeros(32, np.float32),
+                  np.zeros(32, np.float32), hp, SynthDataset(1),
+                  str(tmp_path), batch_size=1)
