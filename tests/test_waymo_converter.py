@@ -261,3 +261,28 @@ def test_setup_split_renumbers_and_links(tmp_path):
     assert not (tr / "calib" / "000001.txt").exists()
     # linked content resolves to the right segment's file
     assert (tr / "label" / "000002.txt").read_text() == "Car 0 0 0\n"
+
+
+def test_converter_cli_setup_split(tmp_path):
+    """The module's script CLI (python -m supnerf_tpu.data.waymo_converter
+    setup-split ...) drives setup_split like the reference's standalone
+    setup_split.py script."""
+    from supnerf_tpu.data.waymo_converter import main
+
+    org = tmp_path / "validation_org"
+    for sub, ext, content in [("calib", ".txt", "P2: 1 0 0 0\n"),
+                              ("image_0", ".png", "fakepng"),
+                              ("label_0", ".txt", "Car 0 0 0\n"),
+                              ("velodyne", ".bin", "x")]:
+        d = org / "seg-a" / sub
+        d.mkdir(parents=True, exist_ok=True)
+        (d / ("000000" + ext)).write_text(content)
+    split_list = tmp_path / "val_org.txt"
+    split_list.write_text("seg-a 000000\n")
+    out_split = tmp_path / "val.txt"
+    main(["setup-split", str(tmp_path), str(org), str(split_list),
+          str(out_split), "--copy"])
+    tr = tmp_path / "training"
+    assert (tr / "image" / "000000.png").exists()
+    assert not (tr / "image" / "000000.png").is_symlink()
+    assert out_split.read_text().split() == ["000000"]
