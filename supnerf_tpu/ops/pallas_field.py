@@ -17,11 +17,13 @@ Design notes (published config: W=256, shape_blocks=3, texture_blocks=1):
     accumulation (preferred_element_type).
   - field_forward_pallas is the forward-only entry (inference renders).
     field_apply_pallas is the DIFFERENTIABLE entry for the TTO hot loop: a
-    jax.custom_vjp whose backward is a second fused kernel that recomputes
-    the forward activations tile-by-tile (no HBM activation stash) and emits
-    gradients w.r.t. the positional encodings (-> pose via xyz/viewdir) and
-    the per-object conditioned latents (-> shape/texture codes). Decoder
-    WEIGHTS get zero cotangents — TTO freezes the network (reference
+    jax.custom_vjp whose backward is a second fused kernel that replays the
+    forward chain tile-by-tile from STREAMED positional encodings (no HBM
+    activation stash, no in-kernel transcendentals) and emits gradients
+    w.r.t. the raw points (-> pose via xyz/viewdir, PE chain rule via the
+    streamed sin/cos columns + a ladder matmul) and the per-object
+    conditioned latents (-> shape/texture codes). Decoder WEIGHTS get zero
+    cotangents — TTO freezes the network (reference
     optimizer_nuscenes.py:1762 optimizes only codes+pose), so their gradient
     graph is dead code XLA removes; do NOT use field_apply_pallas where
     decoder weights must train.
@@ -353,33 +355,50 @@ def field_forward_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
 # Differentiable path: fused backward kernel (recompute-in-backward) + vjp
 # --------------------------------------------------------------------------
 
-def _pe_bwd_rank2(x, xx, g_pe, degree: int):
-    """Backward of _pe_rank2: g_pe (m, D(2L+1)) -> dx (m, D). xx = the
-    pre-sin/cos frequency products from the recompute."""
-    D = x.shape[1]
-    LD = degree * D
-    g_sin = g_pe[:, D:D + LD]
-    g_cos = g_pe[:, D + LD:]
-    d_xx = jnp.cos(xx) * g_sin - jnp.sin(xx) * g_cos
-    dx = g_pe[:, :D]
+def _freq_ladder(degree: int):
+    """(3, 3*degree) selector F with F[c, i*3 + c] = 2^i, so x @ F equals the
+    freq-major concat([x * 2^i for i]) layout of positional_encoding."""
+    f = np.zeros((3, 3 * degree), np.float32)
     for i in range(degree):
-        dx = dx + d_xx[:, i * D:(i + 1) * D] * (2.0 ** i)
-    return dx
+        for c in range(3):
+            f[c, i * 3 + c] = 2.0 ** i
+    return jnp.asarray(f)
+
+
+def _pe_bwd_from_streamed(pe_vals, g_pe, degree: int, ft_ref, mm):
+    """Backward of the positional encoding USING THE STREAMED ENCODING for
+    the sin/cos values: pe_vals = [x, sin(xx), cos(xx)] (m, 3(2L+1)) is the
+    same tensor the forward consumed, so no transcendental is ever computed
+    in-kernel (the round-2/3 profiles showed Mosaic's narrow-lane sin/cos +
+    concat constructions cost ~0.8x of a full forward pass — VALIDATION.md).
+    The frequency-ladder transpose is one small (m, 3L) @ (3L, 3) matmul.
+    g_pe (m, 3(2L+1)) -> dx (m, 3)."""
+    D = 3
+    LD = degree * D
+    f32 = jnp.float32
+    sin_xx = pe_vals[:, D:D + LD].astype(f32)
+    cos_xx = pe_vals[:, D + LD:].astype(f32)
+    d_xx = cos_xx * g_pe[:, D:D + LD] - sin_xx * g_pe[:, D + LD:]
+    return g_pe[:, :D] + mm(d_xx, ft_ref[:])
 
 
 def _field_bwd_kernel(n_shape: int, n_tex: int, dtype, l_xyz: int, l_dir: int,
-                      xyz_ref, vd_ref, zs_ref, zt_ref,
+                      xpe_ref, dpe_ref, fxt_ref, fdt_ref, zs_ref, zt_ref,
                       wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
                       wes_ref, bes_ref, wsg_ref, bsg_ref,
                       wvd_a_ref, wvd_b_ref, bvd_ref,
                       wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
                       dsig_ref, drgb_ref,
                       dxyz_ref, dvd_ref, dzs_ref, dzt_ref):
-    """Recompute the forward chain for this tile (positional encodings
-    included, keeping only relu outputs as masks, all in VMEM — no HBM
+    """Recompute the forward chain for this tile from the STREAMED positional
+    encodings (keeping only relu outputs as masks, all in VMEM — no HBM
     activation stash), then run the transposed chain to produce gradients
     w.r.t. the raw points (-> pose) and the conditioned latents (-> codes).
-    Weight gradients are NOT computed (frozen-decoder TTO semantics)."""
+    The PE chain rule reuses the streamed sin/cos columns plus a ladder
+    matmul (_pe_bwd_from_streamed) — no in-kernel transcendentals, which cost
+    ~0.8x of a forward pass in Mosaic's narrow-lane form and capped the
+    round-2 backward at ~54%% of the shape ceiling. Weight gradients are NOT
+    computed (frozen-decoder TTO semantics)."""
     f32 = jnp.float32
 
     def mm(x, w):      # x @ w
@@ -398,12 +417,8 @@ def _field_bwd_kernel(n_shape: int, n_tex: int, dtype, l_xyz: int, l_dir: int,
         return x.astype(f32)
 
     # ---- forward recompute (store relu outputs; mask(x) == x > 0) ----------
-    x = xyz_ref[:]
-    xx = jnp.concatenate([x * (2.0 ** i) for i in range(l_xyz)], axis=1)
-    xpe = jnp.concatenate([x, jnp.sin(xx), jnp.cos(xx)], axis=1)
-    d = vd_ref[:]
-    dd = jnp.concatenate([d * (2.0 ** i) for i in range(l_dir)], axis=1)
-    dpe = jnp.concatenate([d, jnp.sin(dd), jnp.cos(dd)], axis=1)
+    xpe = xpe_ref[:]
+    dpe = dpe_ref[:]
 
     # relu outputs survive only as sign masks in the transposed chain, so
     # the stash keeps them in the matmul dtype (sign-preserving; halves the
@@ -437,7 +452,8 @@ def _field_bwd_kernel(n_shape: int, n_tex: int, dtype, l_xyz: int, l_dir: int,
         g = mm_t(g, wtx_ref[j])
         dzt_rows[j] = jnp.sum(g, axis=0)
     g_v = jnp.where(cast(v) > 0, g, 0.0)
-    dvd_ref[:] = _pe_bwd_rank2(d, dd, mm_t(g_v, wvd_b_ref[:]), l_dir)
+    dvd_ref[:] = _pe_bwd_from_streamed(dpe, mm_t(g_v, wvd_b_ref[:]), l_dir,
+                                       fdt_ref, mm)
     g_sig = cast(dsig_ref[:]) * sig_gate                       # (m, 1)
     g_e = mm_t(g_v, wvd_a_ref[:]) + mm_t(g_sig, wsg_ref[:])
     g = mm_t(g_e, wes_ref[:])
@@ -447,23 +463,27 @@ def _field_bwd_kernel(n_shape: int, n_tex: int, dtype, l_xyz: int, l_dir: int,
         g = mm_t(g, wsh_ref[j])
         dzs_rows[j] = jnp.sum(g, axis=0)
     g = jnp.where(cast(y0) > 0, g, 0.0)
-    dxyz_ref[:] = _pe_bwd_rank2(x, xx, mm_t(g, wxyz_ref[:]), l_xyz)
+    dxyz_ref[:] = _pe_bwd_from_streamed(xpe, mm_t(g, wxyz_ref[:]), l_xyz,
+                                        fxt_ref, mm)
     dzs_ref[:] = jnp.stack(dzs_rows)[None]
     dzt_ref[:] = jnp.stack(dzt_rows)[None]
 
 
-def _bwd_pallas_call(wt: tuple, xyz, vd, zs, zt, dsig, drgb, *,
+def _bwd_pallas_call(wt: tuple, xpe, dpe, zs, zt, dsig, drgb, *,
                      shape_blocks: int, texture_blocks: int,
                      num_xyz_freq: int, num_dir_freq: int, tile_m: int,
                      dtype, interpret: bool):
-    M = xyz.shape[0]
+    M = xpe.shape[0]
+    xpe = xpe.astype(dtype)
+    dpe = dpe.astype(dtype)
     pad = (-M) % tile_m
     if pad:
         pad2 = ((0, pad), (0, 0))
-        xyz, vd = jnp.pad(xyz, pad2), jnp.pad(vd, pad2)
+        xpe, dpe = jnp.pad(xpe, pad2), jnp.pad(dpe, pad2)
         dsig, drgb = jnp.pad(dsig, pad2), jnp.pad(drgb, pad2)
     Mp = M + pad
     W = wt[0].shape[1]
+    d_xyz, d_dir = xpe.shape[-1], dpe.shape[-1]
     n_tiles = Mp // tile_m
 
     tile_spec = lambda d: pl.BlockSpec((tile_m, d), lambda i: (i, 0),
@@ -477,7 +497,7 @@ def _bwd_pallas_call(wt: tuple, xyz, vd, zs, zt, dsig, drgb, *,
     dxyz, dvd, dzs_p, dzt_p = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[tile_spec(3), tile_spec(3)] + [full()] * 19
+        in_specs=[tile_spec(d_xyz), tile_spec(d_dir)] + [full()] * 21
                  + [tile_spec(1), tile_spec(3)],
         out_specs=[tile_spec(3), tile_spec(3),
                    part_spec(shape_blocks), part_spec(texture_blocks)],
@@ -488,7 +508,8 @@ def _bwd_pallas_call(wt: tuple, xyz, vd, zs, zt, dsig, drgb, *,
             jax.ShapeDtypeStruct((n_tiles, texture_blocks, W), jnp.float32),
         ],
         interpret=interpret,
-    )(xyz, vd, zs, zt, *wt, dsig, drgb)
+    )(xpe, dpe, _freq_ladder(num_xyz_freq).T, _freq_ladder(num_dir_freq).T,
+      zs, zt, *wt, dsig, drgb)
     return dxyz[:M], dvd[:M], dzs_p.sum(axis=0), dzt_p.sum(axis=0)
 
 
@@ -513,8 +534,11 @@ def _make_field_core(shape_blocks: int, texture_blocks: int, num_xyz_freq: int,
     The primal computes the positional encodings in XLA (in-kernel PE loses
     ~35% forward throughput to narrow-lane VPU ops — see VALIDATION.md
     round-2) and runs the xpe-input kernel; only the raw points are saved as
-    residuals, and the backward kernel recomputes the PE in-VMEM alongside
-    the rest of the chain, emitting dxyz/dvd directly."""
+    residuals. The backward RE-ENCODES them in XLA (cheap, fused) and streams
+    the encodings to the backward kernel, which replays the forward chain
+    from them and applies the PE chain rule via the streamed sin/cos columns
+    (_pe_bwd_from_streamed) — no transcendental ever runs inside a kernel,
+    and dxyz/dvd come out directly."""
 
     @jax.custom_vjp
     def core(xyz, vd, zs, zt, wt):
@@ -532,8 +556,10 @@ def _make_field_core(shape_blocks: int, texture_blocks: int, num_xyz_freq: int,
     def core_bwd(res, cts):
         xyz, vd, zs, zt, wt = res
         dsig, drgb = cts
+        pe = _pe_for_dtype(dtype)
         dxyz, dvd, dzs, dzt = _bwd_pallas_call(
-            wt, xyz, vd, zs, zt, dsig, drgb, shape_blocks=shape_blocks,
+            wt, pe(xyz, num_xyz_freq), pe(vd, num_dir_freq), zs, zt,
+            dsig, drgb, shape_blocks=shape_blocks,
             texture_blocks=texture_blocks, num_xyz_freq=num_xyz_freq,
             num_dir_freq=num_dir_freq, tile_m=tile_bwd, dtype=dtype,
             interpret=interpret)

@@ -295,7 +295,10 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             field_apply_pallas,
             resolve_decoder_kernel_config,
         )
-        from supnerf_tpu.ops.pallas_render import make_composite_fn
+        from supnerf_tpu.ops.pallas_render import (
+            make_composite_fn,
+            make_composite_grad_fn,
+        )
 
         packed, kern_kw = resolve_decoder_kernel_config(model, variables)
 
@@ -309,11 +312,20 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             # forward-only fused field+compositing kernel for the grad-free
             # renders inside the loop (the per-iteration lidar depth metric)
             return make_composite_fn(packed, kern_kw, sc, tc)
+
+        def make_composite_grad(sc, tc):
+            # DIFFERENTIABLE fused render for the loss render: forward and
+            # backward each run as one kernel (in-VMEM compositing VJP), so
+            # no per-point tensor touches HBM in the hot loop
+            return make_composite_grad_fn(packed, kern_kw, sc, tc)
     else:
         def make_field(sc, tc):
             return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
 
         def make_composite(sc, tc):
+            return None
+
+        def make_composite_grad(sc, tc):
             return None
 
     params_from_obj_pose, obj_pose_from_params = pose_param_fns(cfg)
@@ -363,6 +375,8 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
                     shapenet_obj_cood=cfg.shapenet_obj_cood,
                     kitti2nusc=cfg.kitti2nusc, sym_flip=sym_flip,
                     return_samples=need_samples,
+                    composite_fn=make_composite_grad(p.shapecode,
+                                                     p.texturecode),
                 )
             loss_rgb = rgb_loss_masked(out["rgb"], rgb_tgt, occ_tgt)
             loss_occ = occupancy_loss(out["acc_trans"], occ_tgt)

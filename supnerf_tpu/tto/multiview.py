@@ -96,6 +96,15 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
     opt_state0 = tx.init(params0)
     obj_diag = jnp.linalg.norm(batch.wlh, axis=-1)
 
+    # fused differentiable render only with a FROZEN decoder (the kernels
+    # give decoder weights zero cotangent); opt_model keeps the flax path
+    use_fused = cfg.field_impl == "pallas" and not opt_model
+    if use_fused:
+        from supnerf_tpu.ops.pallas_field import resolve_decoder_kernel_config
+        from supnerf_tpu.ops.pallas_render import make_composite_grad_fn
+
+        packed, kern_kw = resolve_decoder_kernel_config(model, variables)
+
     def view_loss(p, v, it_key):
         pose = obj_pose_from_params(p["rot"][v], p["trans"][v])
         cam = invert_pose(pose)
@@ -105,11 +114,14 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
                           "batch_stats": variables.get("batch_stats", {})}
         else:
             field_vars = variables
+        comp = (make_composite_grad_fn(packed, kern_kw, p["shape"], tex)
+                if use_fused else None)
         out = render_rays_frustum(
             lambda xyz, vd: model.apply(field_vars, xyz, vd, p["shape"], tex),
             it_key, cam, batch.K[v], batch.roi_nerf[v].astype(jnp.float32),
             obj_diag[v], n_samples=cfg.n_samples, im_sz=cfg.render_im_sz,
-            shapenet_obj_cood=cfg.shapenet_obj_cood, kitti2nusc=cfg.kitti2nusc)
+            shapenet_obj_cood=cfg.shapenet_obj_cood, kitti2nusc=cfg.kitti2nusc,
+            composite_fn=comp)
         lr_ = rgb_loss_masked(out["rgb"], batch.rgb_tgt[v], batch.occ_tgt[v])
         lo = occupancy_loss(out["acc_trans"], batch.occ_tgt[v])
         psnr = masked_psnr(out["rgb"], batch.rgb_tgt[v], batch.occ_tgt[v])

@@ -115,6 +115,120 @@ def test_fused_render_opaque_and_empty_rays():
                                    atol=3e-4, rtol=1e-4)
 
 
+def _loss_weights(R):
+    wr = jnp.asarray(np.random.default_rng(7).normal(size=(R, 3)), jnp.float32)
+    wd = jnp.asarray(np.random.default_rng(8).normal(size=(R,)), jnp.float32)
+    wa = jnp.asarray(np.random.default_rng(9).normal(size=(R,)), jnp.float32)
+    return wr, wd, wa
+
+
+def test_fused_render_gradients_match_autodiff():
+    """field_composite_apply: gradients vs XLA autodiff of the unfused path
+    (flax field + volume_render) for every differentiable input — xyz, the
+    per-ray viewdir, the shared z_vals, and both codes."""
+    from supnerf_tpu.ops.pallas_render import field_composite_apply
+
+    for white in (False, True):
+        model, variables, packed, xyz, vds, z_vals, sc, tc = _setup(R=19)
+        R = xyz.shape[0]
+        wr, wd, wa = _loss_weights(R)
+
+        def loss_fused(xyz, vd, z_vals, sc, tc):
+            rgb, depth, acc = field_composite_apply(
+                packed, xyz, vd, z_vals, sc, tc, dtype=jnp.float32,
+                tile_fwd=32, tile_bwd=32, interpret=True, white_bkgd=white)
+            return (jnp.sum(rgb * wr) + jnp.sum(depth * wd)
+                    + jnp.sum(acc * wa))
+
+        def loss_ref(xyz, vd, z_vals, sc, tc):
+            vdb = jnp.broadcast_to(vd[:, None, :], xyz.shape)
+            sig, rgbs = model.apply(variables, xyz, vdb, sc, tc)
+            rgb, depth, acc = volume_render(sig, rgbs, z_vals[None, :],
+                                            white_bkgd=white)
+            return (jnp.sum(rgb * wr) + jnp.sum(depth * wd)
+                    + jnp.sum(acc * wa))
+
+        vd = vds[:, 0, :]
+        args = (xyz, vd, z_vals, sc, tc)
+        v_f = float(loss_fused(*args))
+        v_r = float(loss_ref(*args))
+        np.testing.assert_allclose(v_f, v_r, rtol=1e-4)
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+        for name, a, b in zip(("xyz", "vd", "z_vals", "sc", "tc"), gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"{name} white={white}")
+
+
+def test_fused_render_gradients_finite_at_degenerate_densities():
+    """The manual compositing VJP stays finite where naive formulations NaN:
+    fully opaque samples (transmittance underflows to the 1e-10 floor) and
+    empty space. Checks against the unfused autodiff too (itself stable:
+    jnp.cumprod form)."""
+    from supnerf_tpu.ops.pallas_render import field_composite_apply
+
+    model, variables, packed, xyz, vds, z_vals, sc, tc = _setup(R=8)
+    R = xyz.shape[0]
+    wr, wd, wa = _loss_weights(R)
+    vd = vds[:, 0, :]
+    for scale, shift in ((50.0, 5.0), (0.0, -50.0)):
+        p2 = dict(packed)
+        k, b = p2["w_sigma"]
+        p2["w_sigma"] = (k * scale, b * scale + shift)
+        v2 = {"params": dict(variables["params"],
+                             sigma={"kernel": k * scale,
+                                    "bias": b * scale + shift})}
+
+        def loss_fused(xyz, vd, z_vals, sc, tc):
+            rgb, depth, acc = field_composite_apply(
+                p2, xyz, vd, z_vals, sc, tc, dtype=jnp.float32,
+                tile_fwd=32, tile_bwd=32, interpret=True)
+            return jnp.sum(rgb * wr) + jnp.sum(depth * wd) + jnp.sum(acc * wa)
+
+        def loss_ref(xyz, vd, z_vals, sc, tc):
+            vdb = jnp.broadcast_to(vd[:, None, :], xyz.shape)
+            sig, rgbs = model.apply(v2, xyz, vdb, sc, tc)
+            rgb, depth, acc = volume_render(sig, rgbs, z_vals[None, :])
+            return jnp.sum(rgb * wr) + jnp.sum(depth * wd) + jnp.sum(acc * wa)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            xyz, vd, z_vals, sc, tc)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            xyz, vd, z_vals, sc, tc)
+        for name, a, b in zip(("xyz", "vd", "z_vals", "sc", "tc"), gf, gr):
+            assert np.all(np.isfinite(np.asarray(a))), name
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=f"{name} scale={scale}")
+
+
+def test_fused_render_gradients_vmapped():
+    """The differentiable fused render under vmap over objects (the TTO batch
+    axis): per-object grads match the serial calls."""
+    from supnerf_tpu.ops.pallas_render import field_composite_apply
+
+    model, variables, packed, xyz, vds, z_vals, sc, tc = _setup()
+    R = xyz.shape[0]
+    wr, wd, wa = _loss_weights(R)
+    B = 2
+    scs = jnp.stack([sc * (i + 1) * 0.7 for i in range(B)])
+    tcs = jnp.stack([tc * (i + 1) * 0.7 for i in range(B)])
+
+    def loss_one(s, t):
+        rgb, depth, acc = field_composite_apply(
+            packed, xyz, vds, z_vals, s, t, dtype=jnp.float32,
+            tile_fwd=32, tile_bwd=32, interpret=True)
+        return jnp.sum(rgb * wr) + jnp.sum(depth * wd) + jnp.sum(acc * wa)
+
+    g_b = jax.vmap(jax.grad(loss_one, argnums=(0, 1)))(scs, tcs)
+    for i in range(B):
+        g_i = jax.grad(loss_one, argnums=(0, 1))(scs[i], tcs[i])
+        for name, a, b in zip(("sc", "tc"), g_i, (g_b[0][i], g_b[1][i])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_positional_encoding_doubling_matches_exact():
     from supnerf_tpu.models.nerf_mlp import (
         positional_encoding,
