@@ -51,10 +51,7 @@ SHAPE_CEILING_RAYS_PER_SEC = 1.81e6
 # this is the builder's estimate, labeled as such.
 REFERENCE_TTO_OBJ_PER_MIN_EST = 6.0
 
-_PUBLISHED_HP = {
-    "shape_blocks": 3, "texture_blocks": 1, "latent_dim": 256,
-    "pose_shortcut": 1, "pred_wlh": 0,
-}
+from supnerf_tpu.data.synthetic import PUBLISHED_NET_HP as _PUBLISHED_HP
 
 
 def bench_tto():
@@ -92,48 +89,29 @@ def bench_tto_product():
     a user actually gets vs bench_tto's device-only number."""
     import tempfile
 
-    from supnerf_tpu.data.synthetic import make_synthetic_object
+    from supnerf_tpu.data.synthetic import SyntheticTTODataset, published_hparams
     from supnerf_tpu.models import build_model, init_model_variables
     from supnerf_tpu.tto.driver import TTODriver
 
     n_obj = int(os.environ.get("BENCH_PRODUCT_OBJECTS", "64"))
     bs = int(os.environ.get("BENCH_OBJECTS", "16"))
 
-    class _DS:
-        def __init__(self, n):
-            self.samples = []
-            for i in range(n):
-                s = make_synthetic_object(seed=100 + i)
-                s["instoken"] = f"ins_{i}"
-                s["anntoken"] = f"ann_{i}"
-                s["cam_ids"] = "CAM_FRONT"
-                self.samples.append(s)
-
-        def __len__(self):
-            return len(self.samples)
-
-        def __getitem__(self, i):
-            return self.samples[i]
-
-    hp = {"net_hyperparams": _PUBLISHED_HP, "n_samples": 64,
-          "render_im_sz": 32, "in_img_sz": 128, "roi_margin": 5,
-          "loss_occ_coef": 0.1, "shapenet_obj_cood": 1, "sym_aug": 0,
-          "optimize": {"num_opts": 100, "lr_shape": 0.02, "lr_texture": 0.02,
-                       "lr_pose": 0.01, "lr_half_interval": 1000}}
+    hp = published_hparams()
     model = build_model("supnerf", _PUBLISHED_HP)
     variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
     import contextlib
 
     with tempfile.TemporaryDirectory() as tmp:
         drv = TTODriver(model, variables, np.zeros(256, np.float32),
-                        np.zeros(256, np.float32), hp, _DS(bs), tmp,
+                        np.zeros(256, np.float32), hp,
+                        SyntheticTTODataset(bs, seed0=100), tmp,
                         batch_size=bs, reg_iters=3, add_pose_err=2,
                         save_freq=10 ** 9,
                         field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
         # driver progress prints go to stderr: bench stdout is ONE JSON line
         with contextlib.redirect_stdout(sys.stderr):
             drv.run()     # warmup: compile + first dispatch
-            drv.dataset = _DS(n_obj)
+            drv.dataset = SyntheticTTODataset(n_obj, seed0=100)
             t0 = time.perf_counter()
             drv.run()
             dt = time.perf_counter() - t0

@@ -26,37 +26,16 @@ jax.config.update("jax_compilation_cache_dir",
 
 import jax.numpy as jnp
 
-from supnerf_tpu.data.synthetic import make_object_batch, make_synthetic_object
-from supnerf_tpu.geometry import poses as pose_gen
+from supnerf_tpu.data.synthetic import (
+    SyntheticTTODataset,
+    make_heldout_tto_batch,
+    published_hparams,
+)
 from supnerf_tpu.models import build_model
 from supnerf_tpu.tto.core import ObjectBatch, TTOConfig, run_tto_batch
 from supnerf_tpu.training.trainer import UnifiedTrainer
 
-PUB_HP = {
-    "arch": "supnerf",
-    "net_hyperparams": {"shape_blocks": 3, "texture_blocks": 1,
-                        "latent_dim": 256, "pose_shortcut": 1, "pred_wlh": 0},
-    "n_rays": 1024, "n_samples": 64, "in_img_sz": 128, "render_im_sz": 32,
-    "roi_margin": 5, "loss_occ_coef": 0.1, "loss_code_coef": 0.1,
-    "loss_pose_coef": 0.01, "shapenet_obj_cood": 1, "sym_aug": 0,
-    "lr_schedule": [{"lr": 1e-4, "interval": 40000},
-                    {"lr": 1e-4, "interval": 40000}],
-}
-
-
-class SynthDataset:
-    def __init__(self, n, seed0=0):
-        self.samples = [make_synthetic_object(seed=seed0 + i) for i in range(n)]
-        for i, s in enumerate(self.samples):
-            s["instoken"] = f"ins_{i}"
-            s["anntoken"] = f"ann_{i}"
-            s["cam_ids"] = "CAM_FRONT"
-
-    def __len__(self):
-        return len(self.samples)
-
-    def __getitem__(self, i):
-        return self.samples[i]
+PUB_HP = published_hparams()
 
 
 def main():
@@ -67,7 +46,7 @@ def main():
     out_dir = os.environ.get("EXT_OUT", "/tmp/ext_train")
 
     model = build_model("supnerf", PUB_HP["net_hyperparams"])
-    ds = SynthDataset(n_obj)
+    ds = SyntheticTTODataset(n_obj)
     tr = UnifiedTrainer(model, PUB_HP, ds, os.path.join(out_dir, "ckpt"),
                         batch_size=batch, check_iter=10 ** 9,
                         field_impl="pallas", save_every=100)
@@ -89,14 +68,7 @@ def main():
     mean_shape = jnp.asarray(np.asarray(tr.state.shape_codes).mean(0))
     mean_texture = jnp.asarray(np.asarray(tr.state.texture_codes).mean(0))
 
-    raw, _ = make_object_batch(n_eval, seed=n_obj + 1000, in_img_sz=128,
-                               render_im_sz=32, n_lidar=256)
-    keys = jax.random.split(jax.random.PRNGKey(11), n_eval)
-    roi_key = "rois" if "rois" in raw else "roi_nerf"
-    init = jax.vmap(lambda k, K, roi: pose_gen.get_random_pose2(
-        k, K, roi.astype(jnp.float32)))(
-        keys, jnp.asarray(raw["K"]), jnp.asarray(raw[roi_key]))
-    raw["pose_init"] = np.asarray(init)
+    raw, _ = make_heldout_tto_batch(n_eval, seed=n_obj + 1000)
     obatch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
     cfg = TTOConfig(num_opts=100, reg_iters=3, n_samples=64, render_im_sz=32,
                     in_img_sz=128, n_lidar=256, field_impl="pallas")

@@ -200,3 +200,75 @@ def make_random_train_batch(B: int, R: int, S: int, img_sz: int, seed: int = 0):
         K=np.ascontiguousarray(K),
         code_idx=np.arange(B, dtype=np.int32),
     )
+
+
+# --------------------------------------------------------------------------
+# Shared published-protocol fixtures (bench.py + measurement scripts)
+# --------------------------------------------------------------------------
+
+PUBLISHED_NET_HP = {
+    "shape_blocks": 3, "texture_blocks": 1, "latent_dim": 256,
+    "pose_shortcut": 1, "pred_wlh": 0,
+}
+
+
+def published_hparams() -> dict:
+    """One copy of the published supnerf.nusc protocol hyperparameters
+    (the jsonfiles/supnerf.nusc.vehicle.car.json subset the synthetic
+    measurement paths need), shared by bench.py,
+    scripts/quality_ab_published.py and scripts/train_extended_synthetic.py
+    so the protocol cannot drift between the numbers they produce."""
+    return {
+        "arch": "supnerf",
+        "net_hyperparams": dict(PUBLISHED_NET_HP),
+        "n_rays": 1024, "n_samples": 64, "in_img_sz": 128, "render_im_sz": 32,
+        "roi_margin": 5, "loss_occ_coef": 0.1, "loss_code_coef": 0.1,
+        "loss_pose_coef": 0.01, "shapenet_obj_cood": 1, "sym_aug": 0,
+        "lr_schedule": [{"lr": 1e-4, "interval": 40000},
+                        {"lr": 1e-4, "interval": 40000}],
+        "optimize": {"num_opts": 100, "lr_shape": 0.02, "lr_texture": 0.02,
+                     "lr_pose": 0.01, "lr_half_interval": 1000},
+    }
+
+
+class SyntheticTTODataset:
+    """n synthetic objects carrying the instoken/anntoken/cam_ids bookkeeping
+    fields the TTODriver and UnifiedTrainer expect of the real datasets."""
+
+    def __init__(self, n: int, seed0: int = 0):
+        self.samples = [make_synthetic_object(seed=seed0 + i) for i in range(n)]
+        for i, s in enumerate(self.samples):
+            s["instoken"] = f"ins_{i}"
+            s["anntoken"] = f"ann_{i}"
+            s["cam_ids"] = "CAM_FRONT"
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def make_heldout_tto_batch(n_eval: int, seed: int, *, in_img_sz: int = 128,
+                           render_im_sz: int = 32, n_lidar: int = 256,
+                           pose_seed: int = 11):
+    """Held-out eval batch at the published TTO protocol: make_object_batch
+    with RANDOM initial poses injected (the reference test protocol's
+    add_pose_err=2 random init, utils.py:1300 get_random_pose2) so the TTO
+    has pose error to recover. Returns (raw dict incl. pose_init, samples);
+    callers wrap raw in tto.core.ObjectBatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from supnerf_tpu.geometry import poses as pose_gen
+
+    raw, samples = make_object_batch(n_eval, seed=seed, in_img_sz=in_img_sz,
+                                     render_im_sz=render_im_sz,
+                                     n_lidar=n_lidar)
+    keys = jax.random.split(jax.random.PRNGKey(pose_seed), n_eval)
+    roi_key = "rois" if "rois" in raw else "roi_nerf"
+    init = jax.vmap(lambda k, K, roi: pose_gen.get_random_pose2(
+        k, K, roi.astype(jnp.float32)))(
+        keys, jnp.asarray(raw["K"]), jnp.asarray(raw[roi_key]))
+    raw["pose_init"] = np.asarray(init)
+    return raw, samples

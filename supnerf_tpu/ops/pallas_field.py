@@ -576,12 +576,15 @@ def field_apply_pallas(packed: dict, xyz, viewdir, shapecode, texturecode, *,
                        dtype: Any = jnp.bfloat16, interpret: bool = False):
     """Differentiable fused field for the TTO hot loop.
 
-    The forward computes the positional encodings in XLA and runs the
-    xpe-input kernel (see _make_field_core); only the BACKWARD kernel
-    recomputes the PE in-VMEM from the raw-point residuals and applies the PE
-    chain rule, so gradients flow to xyz/viewdir (-> pose) and to
-    shapecode/texturecode (through the conditioned latent projections) with
-    no HBM activation stash. Decoder weights receive ZERO cotangent —
+    BOTH passes compute the positional encodings in XLA (cheap, fused; no
+    transcendental ever runs inside a kernel — see _make_field_core): the
+    forward streams them to the xpe-input kernel, and the backward RE-ENCODES
+    the raw-point residuals in XLA, streams the encodings to the backward
+    kernel, which replays the forward chain in-VMEM and applies the PE chain
+    rule via the streamed sin/cos columns (_pe_bwd_from_streamed), so
+    gradients flow to xyz/viewdir (-> pose) and to shapecode/texturecode
+    (through the conditioned latent projections) with no HBM activation
+    stash. Decoder weights receive ZERO cotangent —
     use only where the decoder is frozen (test-time optimization; reference
     optimizer_nuscenes.py:1762 optimizes codes+pose only)."""
     lead_shape = xyz.shape[:-1]

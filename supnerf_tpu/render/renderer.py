@@ -143,9 +143,11 @@ def render_full_image(field_fn, cam_pose, K, roi_hw, obj_diag, *,
                       n_samples: int, shapenet_obj_cood: bool,
                       kitti2nusc: bool = False, chunk: int = 4096, key=None,
                       composite_fn=None):
-    """Render every pixel of an (H, W) ROI grid deterministically (z_fixed
-    stratification midpoint: the reference uses jittered sampling even here;
-    we use the unjittered stratified centers unless a key is passed).
+    """Render every pixel of an (H, W) ROI grid. z sampling is JITTERED
+    stratification exactly like the reference's render_full_img
+    (utils.py:554-566 -> sample_from_rays jittered path); with key=None the
+    jitter vector is frozen at PRNGKey(0), so repeat calls are deterministic
+    but NOT midpoint-sampled — pass a key for per-call jitter.
 
     roi_hw: (roi (4,), H, W) with H, W static ints. Returns (img (H, W, 3),
     depth (H, W), acc (H, W))."""

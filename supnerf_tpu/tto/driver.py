@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -314,8 +315,14 @@ class TTODriver:
         self.save_results()
         # reference-format twin so reference tooling can re-score these
         # results (one-way read of reference .pth already exists in
-        # eval/aggregate.py; this closes the loop in the other direction)
-        self.save_results_pth()
+        # eval/aggregate.py; this closes the loop in the other direction).
+        # Interop is best-effort: without torch the native pickles above are
+        # the complete record, and a finished run must not crash at the end.
+        try:
+            self.save_results_pth()
+        except ImportError:
+            print("torch not available - skipped the reference-format "
+                  ".pth twin (codes+poses.pkl is complete)", file=sys.stderr)
         print("phase timing:\n" + self.timer.report())
         return self.results_dict()
 
