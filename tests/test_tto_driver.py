@@ -220,3 +220,38 @@ def test_non_batchnorm_config_rejected(tmp_path):
         TTODriver(model, variables, np.zeros(32, np.float32),
                   np.zeros(32, np.float32), hp, SynthDataset(1),
                   str(tmp_path), batch_size=1)
+
+
+def test_published_hparams_match_reference_config():
+    """The shared synthetic-protocol hparams (data/synthetic.published_hparams,
+    used by bench.py and the measurement scripts) must agree with the real
+    published config file wherever the two overlap, so the benchmarked
+    protocol cannot silently drift from jsonfiles/supnerf.nusc.vehicle.car.json."""
+    import json
+    import os
+
+    from supnerf_tpu.data.synthetic import (
+        SyntheticTTODataset,
+        make_heldout_tto_batch,
+        published_hparams,
+    )
+
+    hp = published_hparams()
+    ref = json.load(open(os.path.join(os.path.dirname(__file__), "..",
+                                      "jsonfiles", "supnerf.nusc.vehicle.car.json")))
+    for k in ("n_rays", "n_samples", "in_img_sz", "render_im_sz", "roi_margin",
+              "loss_occ_coef", "shapenet_obj_cood", "sym_aug"):
+        assert hp[k] == ref[k], k
+    for k, v in hp["net_hyperparams"].items():
+        assert ref["net_hyperparams"][k] == v, k
+    for k in ("num_opts", "lr_shape", "lr_texture", "lr_pose",
+              "lr_half_interval"):
+        assert hp["optimize"][k] == ref["optimize"][k], k
+
+    ds = SyntheticTTODataset(2, seed0=5)
+    assert len(ds) == 2 and ds[1]["instoken"] == "ins_1"
+    raw, samples = make_heldout_tto_batch(2, seed=7)
+    assert raw["pose_init"].shape == (2, 3, 4)
+    assert len(samples) == 2
+    # random init must actually differ from GT (pose error to recover)
+    assert abs(raw["pose_init"] - raw["obj_pose_gt"]).max() > 0.1
