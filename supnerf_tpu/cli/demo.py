@@ -53,6 +53,10 @@ def main(argv=None):
     p.add_argument("--n_objects", type=int, default=3)
     p.add_argument("--render_scale", type=int, default=4,
                    help="downscale factor for the composed scene render")
+    p.add_argument("--field_impl", type=str, default="flax",
+                   choices=["flax", "pallas"],
+                   help="NeRF field on the TTO hot loop: XLA autodiff (flax) "
+                        "or the fused AABB render kernel (pallas)")
     args = p.parse_args(argv)
     if args.config_file == "supnerf.nusc.vehicle.car.json":
         args.config_file = "hpam_demo.json"
@@ -101,7 +105,8 @@ def main(argv=None):
     # scripts/demo.py:616); adjust_scale maps the diag/2-unit samples onto the
     # frustum-trained field's diag-unit coordinates
     cfg = tto_config_from_hpams(hpams, reg_iters=3, opt_pose=1,
-                                pred_wlh=hpams["net_hyperparams"].get("pred_wlh", 0))
+                                pred_wlh=hpams["net_hyperparams"].get("pred_wlh", 0),
+                                field_impl=args.field_impl)
     import dataclasses
 
     cfg = dataclasses.replace(cfg, use_aabb_render=True, adjust_scale=0.5)

@@ -20,10 +20,14 @@ Applicability / contracts:
     trans >= 1e-10, bounded, and paired with numerators carrying the same
     underflowed products. Forward log/exp is safe on both paths: trans >=
     1e-10 so log is finite, and exp underflow to 0 is exact.
-  - z_vals are SHARED across rays (the reference's sample_from_rays
-    distribution, utils.py:154-167), so deltas/z enter as (1, S) constants.
-  - Rays missing this contract (per-ray z like the AABB path) keep the
-    unfused path.
+  - field_composite_pallas/_apply take z_vals SHARED across rays (the
+    reference's sample_from_rays distribution, utils.py:154-167), so
+    deltas/z enter as (1, S) constants.
+  - field_composite_aabb_pallas/_apply (bottom of this module) take PER-RAY
+    z_vals (R, S) + a hit mask — the AABB ray-box-bounds contract of
+    renderer.render_rays_aabb (reference render_rays_v3, renderer.py:382) —
+    streaming z/delta/hit as (TILE_R, S)/(TILE_R, 1) tiles; the backward
+    emits per-ray z cotangents (pose gradient through the box bounds).
 
 Kernel layout (per grid step, TILE_R rays x S samples = m rows):
   - the MLP runs point-major (m, K) as in pallas_field (MXU-shaped);
@@ -119,9 +123,17 @@ def _split_pe_chain_to_heads(n_shape: int, n_tex: int, dtype,
 
 def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
                    dtype, white_bkgd: bool, pe_in_kernel: bool, compose_dtype,
-                   *refs):
+                   per_ray_z: bool, *refs):
     f32 = jnp.float32
     S = n_samples
+    if per_ray_z:
+        # AABB contract (reference render_rays_v3): z/deltas are PER RAY
+        # (z_row_ref/delta_ref stream (TILE_R, S) tiles instead of (1, S)
+        # constants) and a (TILE_R, 1) hit column — the LAST input — masks
+        # the density of rays that miss the box (the unfused path's
+        # jnp.where(hit) on sigmas, renderer.render_rays_aabb)
+        hit_ref = refs[-2]
+        refs = refs[:-2] + (refs[-1],)
     if pe_in_kernel:
         (xyz_ref, vd_ref, zs_ref, zt_ref,
          w0_ref, ws_ref, wc_ref, bxyz_ref, wsh_ref, bsh_ref,
@@ -169,6 +181,8 @@ def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
 
     # ---- compositing in ray-major (TILE_R, S) ------------------------------
     sig_m = sigma.reshape(tile_r, S)
+    if per_ray_z:
+        sig_m = sig_m * hit_ref[:]
     alpha = 1.0 - jnp.exp(-jnp.maximum(sig_m, 0.0) * delta_ref[:])
     # NOT (1 - alpha) + eps directly: XLA constant-reassociates it into
     # (1 + eps) - alpha == 1 - alpha in f32, so fully-opaque samples would
@@ -209,21 +223,44 @@ def _render_kernel(n_shape: int, n_tex: int, n_samples: int, tile_r: int,
     out_ref[:] = out
 
 
-def _compositing_constants(z_vals, S: int, tile_r: int):
-    """Shared compositing operands: z row, delta row (1e10 last), strictly
-    upper-triangular ones U (exclusive-cumprod / suffix-sum matmuls), the
-    block-diagonal ray-segment mask, and the output-column selector eh."""
-    z_vals = jnp.asarray(z_vals, jnp.float32)
-    deltas = jnp.concatenate(
-        [z_vals[1:] - z_vals[:-1], jnp.full((1,), _LAST_DELTA, jnp.float32)])
-    z_row = z_vals[None, :]                       # (1, S)
-    delta_row = deltas[None, :]                   # (1, S)
+def _compositing_shared(S: int, tile_r: int):
+    """Shape-only compositing operands: strictly upper-triangular ones U
+    (exclusive-cumprod / suffix-sum matmuls), the block-diagonal ray-segment
+    mask, and the output-column selector eh."""
     u_mat = jnp.triu(jnp.ones((S, S), jnp.float32), k=1)
     seg_mask = jnp.asarray(
         np.repeat(np.eye(tile_r, dtype=np.float32), S, axis=1))  # (TILE_R, m)
     eh = jnp.zeros((3, 128), jnp.float32)
     eh = eh.at[0, 3].set(1.0).at[1, 4].set(1.0).at[2, :3].set(1.0)
+    return u_mat, seg_mask, eh
+
+
+def _compositing_constants(z_vals, S: int, tile_r: int):
+    """Shared-z compositing operands: z row, delta row (1e10 last), plus the
+    shape-only operands of _compositing_shared."""
+    z_vals = jnp.asarray(z_vals, jnp.float32)
+    deltas = jnp.concatenate(
+        [z_vals[1:] - z_vals[:-1], jnp.full((1,), _LAST_DELTA, jnp.float32)])
+    z_row = z_vals[None, :]                       # (1, S)
+    delta_row = deltas[None, :]                   # (1, S)
+    u_mat, seg_mask, eh = _compositing_shared(S, tile_r)
     return z_row, delta_row, u_mat, seg_mask, eh
+
+
+def _per_ray_z_operands(z2d, hit, pad_r: int):
+    """Per-ray z/delta/hit operands for the AABB variant, padded to Rp rows:
+    deltas_i = z_{i+1} - z_i with the 1e10 last delta (ops/volume_render
+    contract), hit as an f32 column."""
+    z2d = jnp.asarray(z2d, jnp.float32)
+    deltas = jnp.concatenate(
+        [z2d[:, 1:] - z2d[:, :-1],
+         jnp.full((z2d.shape[0], 1), _LAST_DELTA, jnp.float32)], axis=1)
+    hit_col = jnp.asarray(hit, jnp.float32).reshape(-1, 1)
+    if pad_r:
+        z2d = jnp.pad(z2d, ((0, pad_r), (0, 0)))
+        deltas = jnp.pad(deltas, ((0, pad_r), (0, 0)))
+        hit_col = jnp.pad(hit_col, ((0, pad_r), (0, 0)))
+    return z2d, deltas, hit_col
 
 
 def _pad_rgb_head(wt):
@@ -237,9 +274,12 @@ def _pad_rgb_head(wt):
 
 def _render_fwd_call(wt, xpe, dpe, zs, zt, z_vals, *, n_samples: int,
                      shape_blocks: int, texture_blocks: int, tile_m: int,
-                     dtype, white_bkgd: bool, compose_dtype, interpret: bool):
+                     dtype, white_bkgd: bool, compose_dtype, interpret: bool,
+                     z_per_ray=None, hit=None):
     """Run the fused field+composite forward over already-computed encodings.
     xpe: (R*S, d_xyz) in the compute dtype; dpe: (R, d_dir) PER RAY.
+    z_vals: (S,) shared across rays, OR None with z_per_ray (R, S) + hit (R,)
+    for the AABB per-ray-bounds contract.
     Returns (rgb (R, 3), depth (R,), acc (R,)) in float32."""
     S = n_samples
     R = dpe.shape[0]
@@ -252,25 +292,34 @@ def _render_fwd_call(wt, xpe, dpe, zs, zt, z_vals, *, n_samples: int,
         dpe = jnp.pad(dpe, ((0, pad_r), (0, 0)))
     Rp = R + pad_r
 
-    z_row, delta_row, u_mat, seg_mask, eh = _compositing_constants(
-        z_vals, S, tile_r)
-    operands = (xpe, dpe, zs, zt) + wt[:15] + (wr2p, br2p,
-                                               z_row, delta_row, u_mat,
-                                               seg_mask, eh)
-
-    grid = (Rp // tile_r,)
+    per_ray_z = z_per_ray is not None
     tile_spec = lambda rows, d: pl.BlockSpec((rows, d), lambda i: (i, 0),
                                              memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    if per_ray_z:
+        z2d, delta2d, hit_col = _per_ray_z_operands(z_per_ray, hit, pad_r)
+        u_mat, seg_mask, eh = _compositing_shared(S, tile_r)
+        operands = (xpe, dpe, zs, zt) + wt[:15] + (
+            wr2p, br2p, z2d, delta2d, u_mat, seg_mask, eh, hit_col)
+        tail_specs = [tile_spec(tile_r, S), tile_spec(tile_r, S),
+                      full(), full(), full(), tile_spec(tile_r, 1)]
+    else:
+        z_row, delta_row, u_mat, seg_mask, eh = _compositing_constants(
+            z_vals, S, tile_r)
+        operands = (xpe, dpe, zs, zt) + wt[:15] + (
+            wr2p, br2p, z_row, delta_row, u_mat, seg_mask, eh)
+        tail_specs = [full()] * 5
 
+    grid = (Rp // tile_r,)
     kernel = functools.partial(_render_kernel, shape_blocks, texture_blocks,
                                S, tile_r, dtype, white_bkgd, False,
-                               compose_dtype)
+                               compose_dtype, per_ray_z)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[tile_spec(m, xpe.shape[-1]), tile_spec(tile_r, dpe.shape[-1])]
-                 + [full()] * (len(operands) - 2),
+                 + [full()] * (len(operands) - 2 - len(tail_specs))
+                 + tail_specs,
         out_specs=pl.BlockSpec((tile_r, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
@@ -363,7 +412,7 @@ def field_composite_pallas(packed: dict, xyz, viewdir, z_vals, shapecode,
 
     kernel = functools.partial(_render_kernel, shape_blocks, texture_blocks,
                                S, tile_r, dtype, white_bkgd, True,
-                               compose_dtype)
+                               compose_dtype, False)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -405,22 +454,17 @@ def make_composite_fn(packed: dict, kern_kw: dict, shapecode, texturecode,
 
 def _render_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
                        dtype, white_bkgd: bool, l_xyz: int, l_dir: int,
-                       xpe_ref, dpe_ref, fxt_ref, fdt_ref, zs_ref, zt_ref,
-                       wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
-                       wes_ref, bes_ref, wsg_ref, bsg_ref,
-                       wvd_a_ref, wvd_b_ref, bvd_ref,
-                       wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
-                       z_row_ref, delta_ref, u_ref, seg_mask_ref, gout_ref,
-                       dxyz_ref, dvd_ref, dzs_ref, dzt_ref,
-                       ddelta_ref, dzdir_ref):
+                       per_ray_z: bool, *refs):
     """Backward of the fused render: recompute the field forward from the
     streamed encodings (relu stash in VMEM), replay the compositing forward
     in ray-major, apply the MANUAL compositing VJP (stable product form — no
     reverse-mode through exp/log/cumprod, divisions bounded by the 1e-10
     transmittance floor), then run the transposed field chain. Emits
     gradients for the raw points (via the streamed-PE chain rule), the
-    per-RAY view directions, the conditioned latents, and the shared z_vals
-    (as per-tile delta/depth partial rows). Decoder weights stay frozen
+    per-RAY view directions, the conditioned latents, and z_vals (shared-z
+    mode: per-tile delta/depth partial rows; per_ray_z mode: (TILE_R, S)
+    per-ray partials, with z/delta/hit streamed per tile — the AABB
+    contract, see _render_kernel). Decoder weights stay frozen
     (TTO semantics, reference optimizer_nuscenes.py:1762).
 
     Compositing cotangent algebra (w_i = alpha_i * T_i, T_i = prod_{j<i} t_j,
@@ -432,6 +476,25 @@ def _render_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
       dL/dsigma = -delta e dL/de ;  dL/ddelta = -sigma e dL/de
     The suffix sum rides the same strictly-upper-triangular U as the
     forward's exclusive cumprod (contracted on the other side)."""
+    if per_ray_z:
+        (xpe_ref, dpe_ref, fxt_ref, fdt_ref, zs_ref, zt_ref,
+         wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+         wes_ref, bes_ref, wsg_ref, bsg_ref,
+         wvd_a_ref, wvd_b_ref, bvd_ref,
+         wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
+         z_row_ref, delta_ref, u_ref, seg_mask_ref, gout_ref, hit_ref,
+         dxyz_ref, dvd_ref, dzs_ref, dzt_ref,
+         ddelta_ref, dzdir_ref) = refs
+    else:
+        (xpe_ref, dpe_ref, fxt_ref, fdt_ref, zs_ref, zt_ref,
+         wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
+         wes_ref, bes_ref, wsg_ref, bsg_ref,
+         wvd_a_ref, wvd_b_ref, bvd_ref,
+         wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
+         z_row_ref, delta_ref, u_ref, seg_mask_ref, gout_ref,
+         dxyz_ref, dvd_ref, dzs_ref, dzt_ref,
+         ddelta_ref, dzdir_ref) = refs
+        hit_ref = None
     f32 = jnp.float32
 
     def mm(x, w):
@@ -489,8 +552,10 @@ def _render_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
     rgb = mm(cast(hh), wr2_ref[:]) + cast(br2_ref[:])        # (m, 3)
 
     # ---- compositing forward replay (ray-major) ----------------------------
-    delta = delta_ref[:]                                     # (1, S)
+    delta = delta_ref[:]                          # (1, S) or (TILE_R, S)
     sig_m = sigma.reshape(tile_r, S)
+    if per_ray_z:
+        sig_m = sig_m * hit_ref[:]
     alpha = 1.0 - jnp.exp(-jnp.maximum(sig_m, 0.0) * delta)
     tt = jnp.maximum(1.0 - alpha, 0.0) + _EPS_TRANS
     t_excl = jnp.exp(jax.lax.dot_general(
@@ -518,12 +583,17 @@ def _render_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
     de = g_t - gw * t_excl
     e_val = 1.0 - alpha
     dsig_m = jnp.where(sig_m > 0, de * (-delta) * e_val, 0.0)
-    # per-tile z-grad partial rows, shaped (1, 1, S) to satisfy Mosaic's
-    # block-divisibility rules (a (1, S) block has an un-tileable
-    # second-to-last dim of 1 against the (n_tiles, S) array)
-    ddelta_ref[:] = jnp.sum(de * (-jnp.maximum(sig_m, 0.0)) * e_val * not_last,
-                            axis=0, keepdims=True)[None]
-    dzdir_ref[:] = jnp.sum(g_depth * w, axis=0, keepdims=True)[None]
+    dd_full = de * (-jnp.maximum(sig_m, 0.0)) * e_val * not_last
+    if per_ray_z:
+        # per-ray z grads: emitted whole, combined into dz in XLA
+        ddelta_ref[:] = dd_full                              # (TILE_R, S)
+        dzdir_ref[:] = g_depth * w
+    else:
+        # per-tile z-grad partial rows, shaped (1, 1, S) to satisfy Mosaic's
+        # block-divisibility rules (a (1, S) block has an un-tileable
+        # second-to-last dim of 1 against the (n_tiles, S) array)
+        ddelta_ref[:] = jnp.sum(dd_full, axis=0, keepdims=True)[None]
+        dzdir_ref[:] = jnp.sum(g_depth * w, axis=0, keepdims=True)[None]
 
     dsig_pts = dsig_m.reshape(tile_r * S, 1)
     drgb_pts = w.reshape(tile_r * S, 1) * g_rgb_pts          # (m, 3)
@@ -557,7 +627,10 @@ def _render_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
 def _render_bwd_call(wt, xpe, dpe, zs, zt, z_vals, gout, *, n_samples: int,
                      shape_blocks: int, texture_blocks: int,
                      num_xyz_freq: int, num_dir_freq: int, tile_m: int,
-                     dtype, white_bkgd: bool, interpret: bool):
+                     dtype, white_bkgd: bool, interpret: bool,
+                     z_per_ray=None, hit=None):
+    """Shared-z mode returns dz (S,); per-ray mode (z_per_ray (R, S) +
+    hit (R,), the AABB contract) returns dz (R, S)."""
     S = n_samples
     R = dpe.shape[0]
     W = wt[0].shape[1]
@@ -570,9 +643,7 @@ def _render_bwd_call(wt, xpe, dpe, zs, zt, z_vals, gout, *, n_samples: int,
         gout = jnp.pad(gout, ((0, pad_r), (0, 0)))
     Rp = R + pad_r
     n_tiles = Rp // tile_r
-
-    z_row, delta_row, u_mat, seg_mask, _ = _compositing_constants(
-        z_vals, S, tile_r)
+    per_ray_z = z_per_ray is not None
 
     tile_spec = lambda rows, d: pl.BlockSpec((rows, d), lambda i: (i, 0),
                                              memory_space=pltpu.VMEM)
@@ -582,31 +653,53 @@ def _render_bwd_call(wt, xpe, dpe, zs, zt, z_vals, gout, *, n_samples: int,
     row_spec = lambda d: pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)
 
+    if per_ray_z:
+        z2d, delta2d, hit_col = _per_ray_z_operands(z_per_ray, hit, pad_r)
+        u_mat, seg_mask, _ = _compositing_shared(S, tile_r)
+        z_operands = (z2d, delta2d, u_mat, seg_mask, gout, hit_col)
+        z_in_specs = [tile_spec(tile_r, S), tile_spec(tile_r, S), full(),
+                      full(), tile_spec(tile_r, 128), tile_spec(tile_r, 1)]
+        z_out_specs = [tile_spec(tile_r, S), tile_spec(tile_r, S)]
+        z_out_shape = [jax.ShapeDtypeStruct((Rp, S), jnp.float32)] * 2
+    else:
+        z_row, delta_row, u_mat, seg_mask, _ = _compositing_constants(
+            z_vals, S, tile_r)
+        z_operands = (z_row, delta_row, u_mat, seg_mask, gout)
+        z_in_specs = [full()] * 4 + [tile_spec(tile_r, 128)]
+        z_out_specs = [row_spec(S), row_spec(S)]
+        z_out_shape = [jax.ShapeDtypeStruct((n_tiles, 1, S), jnp.float32)] * 2
+
     kernel = functools.partial(_render_bwd_kernel, shape_blocks,
                                texture_blocks, S, tile_r, dtype, white_bkgd,
-                               num_xyz_freq, num_dir_freq)
+                               num_xyz_freq, num_dir_freq, per_ray_z)
     sds = jax.ShapeDtypeStruct
     dxyz, dvd, dzs_p, dzt_p, dd_p, dzdir_p = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[tile_spec(m, xpe.shape[-1]), tile_spec(tile_r, dpe.shape[-1])]
                  + [full()] * 21
-                 + [full()] * 4 + [tile_spec(tile_r, 128)],
+                 + z_in_specs,
         out_specs=[tile_spec(m, 3), tile_spec(tile_r, 3),
-                   part_spec(shape_blocks, W), part_spec(texture_blocks, W),
-                   row_spec(S), row_spec(S)],
+                   part_spec(shape_blocks, W), part_spec(texture_blocks, W)]
+                  + z_out_specs,
         out_shape=[
             sds((Rp * S, 3), jnp.float32), sds((Rp, 3), jnp.float32),
             sds((n_tiles, shape_blocks, W), jnp.float32),
             sds((n_tiles, texture_blocks, W), jnp.float32),
-            sds((n_tiles, 1, S), jnp.float32), sds((n_tiles, 1, S), jnp.float32),
-        ],
+        ] + z_out_shape,
         interpret=interpret,
     )(xpe, dpe, _freq_ladder(num_xyz_freq).T, _freq_ladder(num_dir_freq).T,
-      zs, zt, *wt, z_row, delta_row, u_mat, seg_mask, gout)
-    dd = dd_p.sum(axis=(0, 1))              # (S,), last entry zero
-    dzdir = dzdir_p.sum(axis=(0, 1))
-    dz = dzdir + jnp.concatenate([jnp.zeros((1,), jnp.float32), dd[:-1]]) - dd
+      zs, zt, *wt, *z_operands)
+    if per_ray_z:
+        dd = dd_p[:R]                       # (R, S), last column zero
+        dzdir = dzdir_p[:R]
+        dz = dzdir + jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.float32), dd[:, :-1]], axis=1) - dd
+    else:
+        dd = dd_p.sum(axis=(0, 1))          # (S,), last entry zero
+        dzdir = dzdir_p.sum(axis=(0, 1))
+        dz = dzdir + jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), dd[:-1]]) - dd
     return dxyz[:R * S], dvd[:R], dz, dzs_p.sum(axis=0), dzt_p.sum(axis=0)
 
 
@@ -700,5 +793,148 @@ def make_composite_grad_fn(packed: dict, kern_kw: dict, shapecode,
     def composite(xyz, viewdir, z_vals):
         return field_composite_apply(packed, xyz, viewdir, z_vals,
                                      shapecode, texturecode, **kw)
+
+    return composite
+
+
+# --------------------------------------------------------------------------
+# AABB (per-ray z bounds) variants: reference render_rays_v3 semantics
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "shape_blocks", "texture_blocks", "num_xyz_freq", "num_dir_freq",
+    "tile_m", "dtype", "interpret", "white_bkgd", "compose_dtype"))
+def field_composite_aabb_pallas(packed: dict, xyz, viewdir, z_vals, hit,
+                                shapecode, texturecode, *,
+                                shape_blocks: int = 3, texture_blocks: int = 1,
+                                num_xyz_freq: int = 10, num_dir_freq: int = 4,
+                                tile_m: int = 1024, dtype: Any = jnp.bfloat16,
+                                interpret: bool = False,
+                                white_bkgd: bool = False,
+                                compose_dtype: Any = jnp.float32):
+    """Fused field+composite forward with PER-RAY sample depths — the AABB
+    contract of renderer.render_rays_aabb (reference render_rays_v3,
+    renderer.py:382): z_vals (R, S) from per-ray ray-box intersection, hit
+    (R,) masking the density of rays that miss the box exactly like the
+    unfused path's jnp.where(hit) on sigmas. Everything else matches
+    field_composite_pallas."""
+    R, S = xyz.shape[0], xyz.shape[1]
+    if viewdir.ndim == 3:
+        viewdir = viewdir[:, 0, :]
+    zs, zt = conditioned_latents(packed, shapecode, texturecode)
+    _check_block_counts(zs, zt, shape_blocks, texture_blocks)
+    wt = _precast_weights(flatten_weights(packed), dtype)
+    pe = _pe_for_dtype(dtype)
+    return _render_fwd_call(
+        wt, pe(xyz.reshape(-1, 3), num_xyz_freq).astype(dtype),
+        pe(viewdir, num_dir_freq).astype(dtype), zs, zt, None,
+        n_samples=S, shape_blocks=shape_blocks,
+        texture_blocks=texture_blocks, tile_m=tile_m, dtype=dtype,
+        white_bkgd=white_bkgd, compose_dtype=compose_dtype,
+        interpret=interpret, z_per_ray=z_vals, hit=hit)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_render_aabb_core(n_samples: int, shape_blocks: int,
+                           texture_blocks: int, num_xyz_freq: int,
+                           num_dir_freq: int, tile_fwd: int, tile_bwd: int,
+                           dtype, white_bkgd: bool, compose_dtype,
+                           interpret: bool):
+    """custom_vjp core over (xyz (R,S,3), vd (R,3), z_vals (R,S), hit (R,),
+    zs, zt, wt) -> (rgb, depth, acc). Weights and hit get ZERO cotangent;
+    z_vals' cotangent is PER RAY (flows to pose through the ray-box
+    intersection bounds)."""
+
+    def encode(xyz, vd):
+        pe = _pe_for_dtype(dtype)
+        return (pe(xyz.reshape(-1, 3), num_xyz_freq).astype(dtype),
+                pe(vd, num_dir_freq).astype(dtype))
+
+    @jax.custom_vjp
+    def core(xyz, vd, z_vals, hit, zs, zt, wt):
+        xpe, dpe = encode(xyz, vd)
+        return _render_fwd_call(
+            wt, xpe, dpe, zs, zt, None, n_samples=n_samples,
+            shape_blocks=shape_blocks, texture_blocks=texture_blocks,
+            tile_m=tile_fwd, dtype=dtype, white_bkgd=white_bkgd,
+            compose_dtype=compose_dtype, interpret=interpret,
+            z_per_ray=z_vals, hit=hit)
+
+    def core_fwd(xyz, vd, z_vals, hit, zs, zt, wt):
+        return (core(xyz, vd, z_vals, hit, zs, zt, wt),
+                (xyz, vd, z_vals, hit, zs, zt, wt))
+
+    def core_bwd(res, cts):
+        xyz, vd, z_vals, hit, zs, zt, wt = res
+        g_rgb, g_depth, g_acc = cts
+        R = vd.shape[0]
+        gout = jnp.zeros((R, 128), jnp.float32)
+        gout = gout.at[:, 0:3].set(g_rgb)
+        gout = gout.at[:, 3].set(g_depth).at[:, 4].set(g_acc)
+        xpe, dpe = encode(xyz, vd)
+        dxyz, dvd, dz, dzs, dzt = _render_bwd_call(
+            wt, xpe, dpe, zs, zt, None, gout, n_samples=n_samples,
+            shape_blocks=shape_blocks, texture_blocks=texture_blocks,
+            num_xyz_freq=num_xyz_freq, num_dir_freq=num_dir_freq,
+            tile_m=tile_bwd, dtype=dtype, white_bkgd=white_bkgd,
+            interpret=interpret, z_per_ray=z_vals, hit=hit)
+        return (dxyz.reshape(xyz.shape), dvd, dz, jnp.zeros_like(hit),
+                dzs, dzt, jax.tree.map(jnp.zeros_like, wt))
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def field_composite_aabb_apply(packed: dict, xyz, viewdir, z_vals, hit,
+                               shapecode, texturecode, *,
+                               shape_blocks: int = 3, texture_blocks: int = 1,
+                               num_xyz_freq: int = 10, num_dir_freq: int = 4,
+                               tile_fwd: int = 1024, tile_bwd: int = 512,
+                               dtype: Any = jnp.bfloat16,
+                               interpret: bool = False,
+                               white_bkgd: bool = False,
+                               compose_dtype: Any = jnp.float32):
+    """DIFFERENTIABLE fused render for the AABB-bounded TTO loop (demo
+    protocol, reference render_rays_v3): per-ray z_vals (R, S) + hit (R,)
+    instead of field_composite_apply's shared z contract. Gradients flow to
+    xyz, the per-ray viewdir, the PER-RAY z_vals (-> pose through the
+    ray-box bounds), and the codes; hit and decoder weights receive zero
+    cotangent (frozen-decoder TTO)."""
+    if viewdir.ndim == 3:
+        viewdir = viewdir[:, 0, :]
+    zs, zt = conditioned_latents(packed, shapecode, texturecode)
+    _check_block_counts(zs, zt, shape_blocks, texture_blocks)
+    wt = _precast_weights(flatten_weights(packed), dtype)
+    core = _make_render_aabb_core(
+        xyz.shape[1], shape_blocks, texture_blocks, num_xyz_freq,
+        num_dir_freq, tile_fwd, tile_bwd, dtype, white_bkgd, compose_dtype,
+        interpret)
+    return core(xyz, viewdir, jnp.asarray(z_vals, jnp.float32),
+                jnp.asarray(hit, jnp.float32), zs, zt, wt)
+
+
+def make_composite_aabb_fn(packed: dict, kern_kw: dict, shapecode,
+                           texturecode, **overrides):
+    """Forward-only AABB closure (xyz (R,S,3), viewdir, z_vals (R,S),
+    hit (R,)) -> (rgb, depth, acc) for renderer.render_rays_aabb's
+    composite_fn hook. kern_kw: resolve_decoder_kernel_config kwargs."""
+    kw = dict(composite_kwargs_from_kernel_config(kern_kw), **overrides)
+
+    def composite(xyz, viewdir, z_vals, hit):
+        return field_composite_aabb_pallas(packed, xyz, viewdir, z_vals, hit,
+                                           shapecode, texturecode, **kw)
+
+    return composite
+
+
+def make_composite_aabb_grad_fn(packed: dict, kern_kw: dict, shapecode,
+                                texturecode, **overrides):
+    """Differentiable counterpart of make_composite_aabb_fn over
+    field_composite_aabb_apply (tile_fwd/tile_bwd kept from kern_kw)."""
+    kw = dict(kern_kw, **overrides)
+
+    def composite(xyz, viewdir, z_vals, hit):
+        return field_composite_aabb_apply(packed, xyz, viewdir, z_vals, hit,
+                                          shapecode, texturecode, **kw)
 
     return composite

@@ -115,10 +115,16 @@ def render_rays_at_pixels(field_fn, key, cam_pose, K, u_vec, v_vec, obj_diag, *,
 def render_rays_aabb(field_fn, key, cam_pose, K, roi, obj_sz, *,
                      n_samples: int, im_sz: int, shapenet_obj_cood: bool,
                      kitti2nusc: bool = False, sym_flip=None,
-                     adjust_scale: float = 1.0, white_bkgd: bool = False):
+                     adjust_scale: float = 1.0, white_bkgd: bool = False,
+                     composite_fn=None):
     """AABB-bounded sampling (reference render_rays_v3 / NeRFRenderer): per-ray
     near/far from ray-box intersection in units of obj_diag/2; rays missing the
     box get degenerate bounds (-1, -1) and composite to background.
+
+    composite_fn, if given, replaces field_fn + hit-masking + volume_render
+    with one fused kernel call (xyz, viewdir (R, 3), z_vals (R, S), hit) ->
+    (rgb, depth, acc) — ops.pallas_render.make_composite_aabb_(grad_)fn; the
+    closure must be built with the same white_bkgd as this call.
 
     Returns dict(rgb, depth, acc_trans, hit (R,) bool)."""
     obj_sz = jnp.asarray(obj_sz, jnp.float32)
@@ -132,6 +138,9 @@ def render_rays_aabb(field_fn, key, cam_pose, K, roi, obj_sz, *,
     z_vals = z_coarse * (obj_diag / 2)
     xyz = xyz * adjust_scale
     xyz, vds = apply_obj_coord_transform(xyz, vds, shapenet_obj_cood, kitti2nusc, sym_flip)
+    if composite_fn is not None:
+        rgb, depth, acc = composite_fn(xyz, vds[:, 0, :], z_vals, hit)
+        return {"rgb": rgb, "depth": depth, "acc_trans": acc, "hit": hit}
     sigmas, rgbs = field_fn(xyz, vds)
     # kill contributions of rays that miss the box (their z ordering is bogus)
     sigmas = jnp.where(hit[:, None, None], sigmas, 0.0)

@@ -296,6 +296,7 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             resolve_decoder_kernel_config,
         )
         from supnerf_tpu.ops.pallas_render import (
+            make_composite_aabb_grad_fn,
             make_composite_fn,
             make_composite_grad_fn,
         )
@@ -318,6 +319,11 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             # backward each run as one kernel (in-VMEM compositing VJP), so
             # no per-point tensor touches HBM in the hot loop
             return make_composite_grad_fn(packed, kern_kw, sc, tc)
+
+        def make_composite_aabb_grad(sc, tc):
+            # per-ray-z variant for the AABB-bounded loss render (demo
+            # protocol, reference render_rays_v3)
+            return make_composite_aabb_grad_fn(packed, kern_kw, sc, tc)
     else:
         def make_field(sc, tc):
             return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
@@ -326,6 +332,9 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             return None
 
         def make_composite_grad(sc, tc):
+            return None
+
+        def make_composite_aabb_grad(sc, tc):
             return None
 
     params_from_obj_pose, obj_pose_from_params = pose_param_fns(cfg)
@@ -367,6 +376,8 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
                     shapenet_obj_cood=cfg.shapenet_obj_cood,
                     kitti2nusc=cfg.kitti2nusc, sym_flip=sym_flip,
                     adjust_scale=cfg.adjust_scale,
+                    composite_fn=make_composite_aabb_grad(p.shapecode,
+                                                          p.texturecode),
                 )
             else:
                 out = render_rays_frustum(

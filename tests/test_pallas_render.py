@@ -244,3 +244,121 @@ def test_positional_encoding_doubling_matches_exact():
         exact = np.asarray(positional_encoding(x, degree))
         fast = np.asarray(positional_encoding_doubling(x, degree))
         np.testing.assert_allclose(fast, exact, atol=atol)
+
+
+# --------------------------------------------------------------------------
+# AABB (per-ray z + hit mask) variant
+# --------------------------------------------------------------------------
+
+def _setup_aabb(R=21, S=8, W=64, n_miss=5):
+    """Per-ray z rows (different bounds per ray) with the first n_miss rays
+    missing the box: degenerate constant z rows (the renderer's (-1, -1)
+    bounds) and hit=False, exactly the render_rays_aabb contract."""
+    model, variables, packed, _, vds0, _, sc, tc = _setup(R=R, S=S, W=W)
+    rng = np.random.default_rng(17)
+    near = 2.0 + rng.uniform(0, 1.0, (R, 1))
+    far = 5.0 + rng.uniform(0, 2.0, (R, 1))
+    frac = np.sort(rng.uniform(0, 1, (R, S)), axis=1)
+    z2d = near + (far - near) * frac
+    hit = np.ones((R,), bool)
+    hit[:n_miss] = False
+    z2d[:n_miss] = -1.0                      # degenerate bounds for misses
+    z2d = jnp.asarray(z2d, jnp.float32)
+    hit = jnp.asarray(hit)
+    vd = vds0[:, 0, :]
+    xyz = vd[:, None, :] * z2d[:, :, None] * 0.3
+    vds = jnp.broadcast_to(vd[:, None, :], xyz.shape)
+    return model, variables, packed, xyz, vds, z2d, hit, sc, tc
+
+
+def _reference_aabb(model, variables, xyz, vds, z2d, hit, sc, tc, white_bkgd):
+    sig, rgb = model.apply(variables, xyz, vds, sc, tc)
+    sig = jnp.where(hit[:, None, None], sig, 0.0)
+    return volume_render(sig, rgb, z2d, white_bkgd=white_bkgd)
+
+
+def test_fused_aabb_render_matches_unfused():
+    from supnerf_tpu.ops.pallas_render import field_composite_aabb_pallas
+
+    for white in (False, True):
+        model, variables, packed, xyz, vds, z2d, hit, sc, tc = _setup_aabb()
+        rgb_ref, depth_ref, acc_ref = _reference_aabb(
+            model, variables, xyz, vds, z2d, hit, sc, tc, white)
+        rgb, depth, acc = field_composite_aabb_pallas(
+            packed, xyz, vds, z2d, hit, sc, tc, dtype=jnp.float32, tile_m=32,
+            interpret=True, white_bkgd=white)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                                   atol=3e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref),
+                                   atol=3e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref),
+                                   atol=3e-4, rtol=1e-4)
+
+
+def test_fused_aabb_gradients_match_autodiff():
+    """field_composite_aabb_apply: gradients vs XLA autodiff of the unfused
+    AABB path (hit-masked sigmas + per-ray volume_render) for xyz, the
+    per-ray viewdir, the PER-RAY z_vals, and both codes; missed rays must get
+    exactly zero xyz/z gradients (the unfused where(hit) semantics)."""
+    from supnerf_tpu.ops.pallas_render import field_composite_aabb_apply
+
+    model, variables, packed, xyz, vds, z2d, hit, sc, tc = _setup_aabb()
+    R = xyz.shape[0]
+    wr, wd, wa = _loss_weights(R)
+    vd = vds[:, 0, :]
+
+    def loss_fused(xyz, vd, z2d, sc, tc):
+        rgb, depth, acc = field_composite_aabb_apply(
+            packed, xyz, vd, z2d, hit, sc, tc, dtype=jnp.float32,
+            tile_fwd=32, tile_bwd=32, interpret=True)
+        return jnp.sum(rgb * wr) + jnp.sum(depth * wd) + jnp.sum(acc * wa)
+
+    def loss_ref(xyz, vd, z2d, sc, tc):
+        vdb = jnp.broadcast_to(vd[:, None, :], xyz.shape)
+        rgb, depth, acc = _reference_aabb(
+            model, variables, xyz, vdb, z2d, hit, sc, tc, False)
+        return jnp.sum(rgb * wr) + jnp.sum(depth * wd) + jnp.sum(acc * wa)
+
+    args = (xyz, vd, z2d, sc, tc)
+    np.testing.assert_allclose(float(loss_fused(*args)),
+                               float(loss_ref(*args)), rtol=1e-4)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(("xyz", "vd", "z2d", "sc", "tc"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    # missed rays: zero gradient into geometry exactly
+    miss = ~np.asarray(hit)
+    assert np.all(np.asarray(gf[0])[miss] == 0.0)
+    assert np.all(np.asarray(gf[2])[miss] == 0.0)
+
+
+def test_fused_aabb_in_renderer_and_tto_loop():
+    """Wire-level: render_rays_aabb with the fused composite hook matches the
+    unfused call, and the AABB TTO loop runs on field_impl='pallas'."""
+    from supnerf_tpu.render.renderer import render_rays_aabb
+    from supnerf_tpu.ops.pallas_render import make_composite_aabb_fn
+
+    model, variables, packed, _, _, _, _, sc, tc = _setup_aabb()
+    K = jnp.asarray([[400.0, 0, 320], [0, 400, 180], [0, 0, 1]])
+    roi = jnp.asarray([280.0, 140.0, 360.0, 220.0])
+    cam = jnp.concatenate([jnp.eye(3), jnp.asarray([[0.0], [0.0], [-6.0]])],
+                          axis=1)
+    obj_sz = jnp.asarray([1.9, 4.6, 1.7])
+    kern_kw = dict(shape_blocks=3, texture_blocks=1, dtype=jnp.float32,
+                   tile_fwd=32, interpret=True)
+
+    def field_fn(xyz, vd):
+        return model.apply(variables, xyz, vd, sc, tc)
+
+    kw = dict(n_samples=8, im_sz=8, shapenet_obj_cood=True, adjust_scale=0.5)
+    out_ref = render_rays_aabb(field_fn, jax.random.PRNGKey(5), cam, K, roi,
+                               obj_sz, **kw)
+    out_f = render_rays_aabb(field_fn, jax.random.PRNGKey(5), cam, K, roi,
+                             obj_sz, composite_fn=make_composite_aabb_fn(
+                                 packed, kern_kw, sc, tc), **kw)
+    assert bool(jnp.any(out_ref["hit"])), "fixture must hit the box"
+    for k in ("rgb", "depth", "acc_trans"):
+        np.testing.assert_allclose(np.asarray(out_f[k]),
+                                   np.asarray(out_ref[k]),
+                                   atol=3e-3, rtol=1e-3, err_msg=k)

@@ -229,3 +229,29 @@ def test_pose_param_fns_roundtrip():
         back = from_params(r, t)
         np.testing.assert_allclose(np.asarray(back), np.asarray(pose),
                                    atol=1e-5, err_msg=f"euler={euler} cam={cam}")
+
+
+def test_aabb_render_mode_pallas_matches_flax():
+    """The AABB TTO loop on field_impl='pallas' rides the fused per-ray-z
+    render kernel (ops.pallas_render.field_composite_aabb_apply, interpret
+    f32 on CPU) and must reproduce the flax path's metric curves and final
+    parameters."""
+    model, variables, batch = _tiny_setup(2)
+    base = dataclasses.replace(TINY_CFG, use_aabb_render=True,
+                               adjust_scale=0.5)
+    res = {}
+    for impl in ("flax", "pallas"):
+        cfg = dataclasses.replace(base, field_impl=impl)
+        res[impl] = jax.tree.map(np.asarray, run_tto_batch(
+            model, variables, batch, jnp.zeros(32), jnp.zeros(32), cfg,
+            jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(res["pallas"]["loss"], res["flax"]["loss"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(res["pallas"]["psnr"], res["flax"]["psnr"],
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(res["pallas"]["final_shapecode"],
+                               res["flax"]["final_shapecode"],
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(res["pallas"]["final_pose"],
+                               res["flax"]["final_pose"],
+                               rtol=1e-3, atol=1e-4)
