@@ -68,6 +68,11 @@ def bench_tto():
     # published defaults: 100 opts, 32^2 rays, 64 samples. BENCH_FIELD_IMPL
     # selects the hot-loop field: fused Pallas fwd+bwd kernels vs XLA autodiff.
     cfg = TTOConfig(field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
+    if os.environ.get("BENCH_AABB", "0") == "1":
+        # demo-protocol variant: AABB-bounded per-ray sampling (reference
+        # render_rays_v3) on the fused per-ray-z render kernel
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, use_aabb_render=True, adjust_scale=0.5)
     raw, _ = make_object_batch(B, seed=0, in_img_sz=128, render_im_sz=32,
                                n_lidar=256)
     batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})

@@ -91,10 +91,12 @@ def add_optimize_args(p: argparse.ArgumentParser):
                         "early break in optimizer_kitti.py:617-624)")
     p.add_argument("--num_objects", type=int, default=32,
                    help="synthetic dataset size")
-    p.add_argument("--field_impl", type=str, default="flax",
-                   choices=["flax", "pallas"],
-                   help="NeRF field on the TTO hot loop: XLA autodiff (flax) "
-                        "or the fused fwd+bwd Pallas kernels")
+    p.add_argument("--field_impl", type=str, default="auto",
+                   choices=["auto", "flax", "pallas"],
+                   help="NeRF field on the TTO hot loop: the fused fwd+bwd "
+                        "Pallas kernels (pallas) or XLA autodiff (flax); "
+                        "auto = pallas on accelerators with a "
+                        "kernel-compatible decoder, flax otherwise")
     return p
 
 

@@ -53,10 +53,11 @@ def main(argv=None):
     p.add_argument("--n_objects", type=int, default=3)
     p.add_argument("--render_scale", type=int, default=4,
                    help="downscale factor for the composed scene render")
-    p.add_argument("--field_impl", type=str, default="flax",
-                   choices=["flax", "pallas"],
-                   help="NeRF field on the TTO hot loop: XLA autodiff (flax) "
-                        "or the fused AABB render kernel (pallas)")
+    p.add_argument("--field_impl", type=str, default="auto",
+                   choices=["auto", "flax", "pallas"],
+                   help="NeRF field on the TTO hot loop: the fused AABB "
+                        "render kernel (pallas) or XLA autodiff (flax); "
+                        "auto = pallas on accelerators")
     args = p.parse_args(argv)
     if args.config_file == "supnerf.nusc.vehicle.car.json":
         args.config_file = "hpam_demo.json"

@@ -39,11 +39,12 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=1,
                    help="checkpoint every N epochs (last epoch always "
                         "saved); 1 matches the reference's per-epoch saves")
-    p.add_argument("--field_impl", type=str, default="flax",
-                   choices=["flax", "pallas"],
-                   help="NeRF branch: XLA autodiff (flax) or the fused "
-                        "fwd+bwd train kernels (pallas; required to fit the "
-                        "published batch 48 on one v5e chip)")
+    p.add_argument("--field_impl", type=str, default="auto",
+                   choices=["auto", "flax", "pallas"],
+                   help="NeRF branch: the fused fwd+bwd train kernels "
+                        "(pallas; required to fit the published batch 48 on "
+                        "one v5e chip) or XLA autodiff (flax); auto = pallas "
+                        "on accelerators with a kernel-compatible decoder")
     args = p.parse_args(argv)
 
     from supnerf_tpu.cli.common import maybe_multihost

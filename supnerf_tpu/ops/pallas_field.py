@@ -605,7 +605,11 @@ def resolve_decoder_kernel_config(model, variables):
     the kernels in f32 interpret mode; the per-object tile fit for training
     shrinks tiles further as needed)."""
     dec = variables["params"].get("decoder")
-    if dec is None or "encoding_xyz" not in dec:
+    # "shape_latent_layer_1" distinguishes the CodeNeRF conditioned-latent
+    # structure from raw AutoRF's feature-averaging decoder, which shares
+    # "encoding_xyz" but has none of the latent-projection layers the
+    # kernels compute (pack_decoder_params would KeyError on it)
+    if dec is None or "encoding_xyz" not in dec or "shape_latent_layer_1" not in dec:
         raise ValueError(
             "field_impl='pallas' needs a CodeNeRF-style decoder scope "
             "(SUPNeRF / AutoRFMix / CodeNeRF)")
@@ -629,6 +633,24 @@ def resolve_decoder_kernel_config(model, variables):
         tile_bwd=128 if interp else 512,
         interpret=interp)
     return packed, kwargs
+
+
+def resolve_field_impl(requested: str, model, variables) -> str:
+    """Resolve the 'auto' field implementation: 'pallas' when running on an
+    accelerator backend AND the decoder is kernel-compatible (CodeNeRF-style
+    scope, >=1 shape/texture blocks — exactly resolve_decoder_kernel_config's
+    acceptance), else 'flax' (XLA autodiff; on CPU the kernels would run in
+    interpret mode, which is only meant for tests). Explicit 'flax'/'pallas'
+    pass through untouched, including their error behavior."""
+    if requested != "auto":
+        return requested
+    if jax.default_backend() == "cpu":
+        return "flax"
+    try:
+        resolve_decoder_kernel_config(model, variables)
+    except ValueError:
+        return "flax"
+    return "pallas"
 
 
 # --------------------------------------------------------------------------

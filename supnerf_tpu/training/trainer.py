@@ -122,6 +122,18 @@ class UnifiedTrainer:
             self.model, self.key, n_instances=max(len(self.instoken2idx), 1),
             cfg=self.cfg, img_size=hpams.get("in_img_sz", 128),
         )
+        if self.cfg.field_impl == "auto":
+            # 'auto' (the CLI default): fused train kernels on accelerators
+            # with a kernel-compatible decoder, XLA autodiff otherwise.
+            # init_train_state does not depend on field_impl, so resolving
+            # after it is safe.
+            import dataclasses
+
+            from supnerf_tpu.ops.pallas_field import resolve_field_impl
+
+            self.cfg = dataclasses.replace(
+                self.cfg, field_impl=resolve_field_impl(
+                    "auto", self.model, {"params": self.state.params}))
         if self.mesh is not None:
             self.state = replicate_pytree(self.state, self.mesh)
         self.step_fn = make_train_step(self.model, self.cfg, donate=False,

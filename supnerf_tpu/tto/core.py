@@ -219,6 +219,11 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     B = batch.img_in.shape[0]
     if cfg.use_aabb_render and cfg.sym_loss_coef > 0:
         raise ValueError("sym_loss requires the frustum renderer (sample reuse)")
+    if cfg.field_impl == "auto":
+        from supnerf_tpu.ops.pallas_field import resolve_field_impl
+
+        cfg = dataclasses.replace(
+            cfg, field_impl=resolve_field_impl("auto", model, variables))
 
     # ---- 1) encoder (per-object BN batch stats via vmap over batch-of-one) --
     # SUPNeRF encoders return (shape, texture, pose, uv, wlh); AutoRF-style

@@ -255,3 +255,44 @@ def test_aabb_render_mode_pallas_matches_flax():
     np.testing.assert_allclose(res["pallas"]["final_pose"],
                                res["flax"]["final_pose"],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_resolve_field_impl_auto():
+    """'auto' (the CLI default) resolves to flax on the CPU backend, to
+    pallas on accelerators with a kernel-compatible decoder, and to flax on
+    accelerators when the decoder is not (AutoRF's feature-averaging
+    decoder); explicit choices pass through."""
+    from unittest import mock
+
+    from supnerf_tpu.ops import pallas_field as pf
+
+    model, variables, _ = _tiny_setup(1)
+    # CPU backend (the test conftest forces it): auto -> flax
+    assert pf.resolve_field_impl("auto", model, variables) == "flax"
+    assert pf.resolve_field_impl("flax", model, variables) == "flax"
+    assert pf.resolve_field_impl("pallas", model, variables) == "pallas"
+
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        assert pf.resolve_field_impl("auto", model, variables) == "pallas"
+        # raw AutoRF (feature-averaging decoder, NOT the published mix
+        # variant) lacks the CodeNeRF latent layers the kernels need
+        from supnerf_tpu.models.autorf import AutoRF
+
+        autorf = AutoRF(shape_blocks=2, texture_blocks=2, latent_dim=32)
+        av = init_model_variables(autorf, jax.random.PRNGKey(0), img_size=32)
+        assert pf.resolve_field_impl("auto", autorf, av) == "flax"
+
+
+def test_run_tto_batch_accepts_auto_field_impl():
+    """cfg.field_impl='auto' resolves inside run_tto_batch (flax on this CPU
+    backend) and matches an explicit flax run bit for bit."""
+    model, variables, batch = _tiny_setup(1)
+    outs = {}
+    for impl in ("auto", "flax"):
+        cfg = dataclasses.replace(TINY_CFG, field_impl=impl)
+        outs[impl] = jax.tree.map(np.asarray, run_tto_batch(
+            model, variables, batch, jnp.zeros(32), jnp.zeros(32), cfg,
+            jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(outs["auto"]["loss"], outs["flax"]["loss"])
+    np.testing.assert_array_equal(outs["auto"]["final_pose"],
+                                  outs["flax"]["final_pose"])
