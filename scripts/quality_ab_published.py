@@ -74,11 +74,16 @@ def main():
     raw, _ = make_heldout_tto_batch(N_EVAL, seed=N_TRAIN_OBJ + 1000)
     batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
 
+    aabb = os.environ.get("AB_AABB", "0") == "1"
     rows = {}
     for impl in ("flax", "pallas"):
         cfg = TTOConfig(num_opts=NUM_OPTS, reg_iters=3, n_samples=64,
                         render_im_sz=32, in_img_sz=128, n_lidar=256,
-                        field_impl=impl, remat_field=(impl == "flax"))
+                        field_impl=impl, remat_field=(impl == "flax"),
+                        # AB_AABB=1: the demo protocol's AABB-bounded loss
+                        # render (per-ray z fused kernel on the pallas side)
+                        use_aabb_render=aabb,
+                        adjust_scale=0.5 if aabb else 1.0)
         fn = jax.jit(lambda v, b, k, _cfg=cfg: run_tto_batch(
             model, v, b, mean_shape, mean_texture, _cfg, k))
         t0 = time.time()

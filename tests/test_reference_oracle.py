@@ -346,3 +346,36 @@ def test_img_encoder_vs_reference_torch_module(pred_wlh):
     np.testing.assert_allclose(np.asarray(out_j["uv"]), uv_t, atol=2e-3)
     if pred_wlh:
         np.testing.assert_allclose(np.asarray(out_j["wlh"]), wlh_t, atol=2e-3)
+
+
+def test_ray_box_intersection_vs_reference():
+    """geometry.rays.ray_box_intersection vs the reference's own numpy
+    ray_box_intersection (utils.py:236-281), AST-extracted. The reference
+    boolean-gathers (z_in, z_out) over the hit map; the repo keeps static
+    shapes and returns (t_near, t_far, hit) — compare the gathered values
+    and the hit map itself."""
+    ns = {"np": np}
+    ref_fn = _extract_reference_function("utils.py", "ray_box_intersection",
+                                         ns)
+
+    from supnerf_tpu.geometry import rays as rays_mod
+
+    rng = np.random.default_rng(11)
+    R = 257
+    # origins around/inside the unit box, unit directions — includes rays
+    # starting inside (t_near < 0 < t_far) and clear misses
+    ro = rng.normal(0, 1.5, (R, 1, 3))
+    rd = rng.normal(size=(R, 1, 3))
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+
+    z_in, z_out, imap = ref_fn(ro, rd)
+    t_near, t_far, hit = rays_mod.ray_box_intersection(
+        jnp.asarray(ro, jnp.float32), jnp.asarray(rd, jnp.float32))
+    hit = np.asarray(hit)
+
+    np.testing.assert_array_equal(hit, imap)
+    assert hit.any() and not hit.all(), "fixture needs both hits and misses"
+    np.testing.assert_allclose(np.asarray(t_near)[imap], z_in, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_far)[imap], z_out, rtol=1e-4,
+                               atol=1e-5)
