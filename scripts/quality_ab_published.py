@@ -72,12 +72,31 @@ def main():
     # held-out objects (seeds beyond the training range), published protocol
     # with random initial poses so the TTO actually has pose error to recover
     raw, _ = make_heldout_tto_batch(N_EVAL, seed=N_TRAIN_OBJ + 1000)
+    aabb = os.environ.get("AB_AABB", "0") == "1"
+    if aabb:
+        # the demo protocol initializes from 3D-detector predictions
+        # (scripts/demo.py:610 det3d_path), not the nuScenes test protocol's
+        # fully random poses: the AABB render only sees rays hitting the box
+        # at the CURRENT estimate, so a far-off init has no gradient signal.
+        # Perturb GT mildly (detector-quality) instead, and skip the FF
+        # refiner below (reg_iters=0): at AB_EPOCHS' short training it would
+        # overwrite the good init with a near-random pose, and the A/B would
+        # measure chaotic recovery rather than kernel parity.
+        from supnerf_tpu.geometry.poses import get_random_pose
+
+        keys = jax.random.split(jax.random.PRNGKey(23), N_EVAL)
+        raw["pose_init"] = np.asarray(jax.vmap(
+            lambda k, p, K, roi: get_random_pose(
+                k, p, K, roi.astype(jnp.float32), yaw_lim=0.3,
+                angle_lim=0.05, trans_lim=0.1, depth_lim=0.1))(
+            keys, jnp.asarray(raw["obj_pose_gt"]), jnp.asarray(raw["K"]),
+            jnp.asarray(raw["roi_nerf"])))
     batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
 
-    aabb = os.environ.get("AB_AABB", "0") == "1"
     rows = {}
     for impl in ("flax", "pallas"):
-        cfg = TTOConfig(num_opts=NUM_OPTS, reg_iters=3, n_samples=64,
+        cfg = TTOConfig(num_opts=NUM_OPTS, reg_iters=0 if aabb else 3,
+                        n_samples=64,
                         render_im_sz=32, in_img_sz=128, n_lidar=256,
                         field_impl=impl, remat_field=(impl == "flax"),
                         # AB_AABB=1: the demo protocol's AABB-bounded loss

@@ -29,6 +29,12 @@ def main(argv=None):
     p.add_argument("--resume_from_epoch", type=int, default=None)
     p.add_argument("--resume_dir", type=str, default=None)
     p.add_argument("--im_enc_rate", type=float, default=1.0)
+    p.add_argument("--seg_source", type=str, default="instance",
+                   help="nuScenes mask source: instance | panoptic "
+                        "(reference train_nuscenes.py:19)")
+    p.add_argument("--pred_box2d", type=int, default=0,
+                   help="use predicted 2D detection boxes instead of gt "
+                        "projections (reference train_nuscenes.py:31)")
     p.add_argument("--aug_box2d", type=str2bool, default=False)
     p.add_argument("--aug_wlh", type=str2bool, default=False)
     p.add_argument("--finetune_wlh", type=str2bool, default=False)

@@ -97,6 +97,13 @@ def ray_box_intersection(rays_o, viewdir, aabb_min=None, aabb_max=None):
     Returns (t_near, t_far, hit): each (...,); hit requires t_far > t_near and
     t_far > 0 (box in front of the origin), matching reference utils.py:236-280
     but without boolean gather (mask instead, for static shapes).
+
+    NOT safe under reverse-mode AD: the slab test's 1/viewdir relies on inf
+    semantics for axis-parallel rays, and its VJP produces 0*inf = NaN for
+    grazing rays (the true d(bound)/d(dir) ~ 1/d^2 diverges there anyway).
+    Callers optimizing through ray geometry must stop_gradient the bounds —
+    the reference does the equivalent by intersecting on detached numpy rays
+    (renderer.py:426); see render.renderer.render_rays_aabb.
     """
     if aabb_min is None:
         aabb_min = -jnp.ones_like(rays_o)

@@ -131,6 +131,15 @@ def render_rays_aabb(field_fn, key, cam_pose, K, roi, obj_sz, *,
     obj_diag = jnp.linalg.norm(obj_sz)
     rays_o, viewdir = get_rays(K, cam_pose, roi, (im_sz, im_sz))
     bounds, hit, rays_o_n = aabb_ray_bounds(rays_o, viewdir, obj_sz)
+    # The box bounds are CONSTANTS w.r.t. the pose, exactly like the
+    # reference, which intersects on DETACHED numpy rays (renderer.py:426
+    # rays_o.cpu().detach().numpy()). Besides parity, this is load-bearing
+    # for stability: reverse-mode through the slab test's 1/viewdir produces
+    # 0*inf = NaN when a pose update drives a ray direction component
+    # through zero (grazing ray), and the true d(bound)/d(dir) ~ 1/d^2
+    # diverges there anyway. Pose gradients still flow through rays_o/
+    # viewdir into the sample positions below.
+    bounds = jax.lax.stop_gradient(bounds)
     z_coarse = sample_z_stratified(key, bounds[:, 0], bounds[:, 1], n_samples)
     xyz = rays_o_n[:, None, :] + z_coarse[:, :, None] * viewdir[:, None, :]
     vds = jnp.broadcast_to(viewdir[:, None, :], xyz.shape)

@@ -63,7 +63,9 @@ class TrainConfig:
                                   # fused fwd+bwd train kernels with in-VMEM
                                   # weight-grad accumulation (no activation
                                   # stash / XLA remat); CodeNeRF-style
-                                  # decoders only
+                                  # decoders only. "auto" (the CLI default)
+                                  # is resolved by the trainer via
+                                  # ops.pallas_field.resolve_field_impl.
 
 
 @struct.dataclass

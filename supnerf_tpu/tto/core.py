@@ -95,6 +95,9 @@ class TTOConfig:
                                 # frozen there, so the kernel's zero weight
                                 # cotangent is exact. CodeNeRF-style decoders
                                 # only (SUPNeRF / AutoRFMix / CodeNeRF).
+                                # "auto" (the CLI default): pallas on
+                                # accelerators with a compatible decoder,
+                                # flax otherwise (resolve_field_impl).
     remat_field: bool = False   # rematerialize the field in the backward pass:
                                 # cuts multi-GB activation stashes (needed for
                                 # object batches >32 on a 16 GB chip) but costs

@@ -110,3 +110,64 @@ def test_scene_compositor_occlusion():
     assert 17.0 < d < 20.5  # front sphere surface
     # corners composite to white background
     assert np.allclose(rgb[0, 0], 1.0, atol=1e-3)
+
+
+def test_render_rays_aabb_pose_grad_detached_bounds():
+    """Reverse-mode through render_rays_aabb must NOT differentiate the
+    ray-box bounds: the reference intersects on DETACHED numpy rays
+    (renderer.py:426) so bounds are constants w.r.t. pose, and the slab
+    test's 1/viewdir VJP is numerically poisonous near axis-parallel rays
+    (found as a sudden NaN at TTO iteration 67 on the published AABB
+    protocol; on this fixture the bounds-gradient flips the pose gradient
+    to -81 where the detached-bounds value is +5.3). The fixture aims the
+    camera straight down +z with a 9x9 grid whose center ray has EXACT-zero
+    x/y direction components, and pins the gradient to a manual pipeline
+    with explicitly detached bounds."""
+    from supnerf_tpu.geometry.rays import (
+        aabb_ray_bounds, get_rays, sample_z_stratified,
+    )
+    from supnerf_tpu.ops.volume_render import volume_render
+    from supnerf_tpu.render.renderer import apply_obj_coord_transform
+
+    def field_fn(xyz, vd):
+        sig = jnp.sum(xyz ** 2, axis=-1, keepdims=True)
+        rgb = jax.nn.sigmoid(xyz + vd)
+        return sig, rgb
+
+    K_c = jnp.asarray([[100.0, 0, 32], [0, 100, 32], [0, 0, 1]])
+    # grid spans [28, 36] over 9 steps -> pixel (32, 32) is EXACTLY the
+    # principal point (get_rays endpoints: roi_min .. roi_max - 1)
+    roi = jnp.asarray([28.0, 28.0, 37.0, 37.0])
+    obj_sz = jnp.asarray([1.9, 4.6, 1.7])
+    key = jax.random.PRNGKey(0)
+
+    def loss_renderer(tz):
+        cam = jnp.concatenate(
+            [jnp.eye(3), jnp.stack([0.0, 0.0, tz])[:, None]], axis=1)
+        out = rnd.render_rays_aabb(
+            field_fn, key, cam, K_c, roi, obj_sz,
+            n_samples=8, im_sz=9, shapenet_obj_cood=True, adjust_scale=0.5)
+        return jnp.sum(out["rgb"]) + jnp.sum(out["depth"])
+
+    def loss_manual(tz):
+        # the renderer's math with the detached-bounds semantic made explicit
+        cam = jnp.concatenate(
+            [jnp.eye(3), jnp.stack([0.0, 0.0, tz])[:, None]], axis=1)
+        obj_diag = jnp.linalg.norm(obj_sz)
+        rays_o, viewdir = get_rays(K_c, cam, roi, (9, 9))
+        bounds, hit, rays_o_n = aabb_ray_bounds(rays_o, viewdir, obj_sz)
+        bounds = jax.lax.stop_gradient(bounds)
+        z = sample_z_stratified(key, bounds[:, 0], bounds[:, 1], 8)
+        xyz = rays_o_n[:, None, :] + z[:, :, None] * viewdir[:, None, :]
+        vds = jnp.broadcast_to(viewdir[:, None, :], xyz.shape)
+        z_vals = z * (obj_diag / 2)
+        xyz, vds = apply_obj_coord_transform(xyz * 0.5, vds, True)
+        sig, rgb = field_fn(xyz, vds)
+        sig = jnp.where(hit[:, None, None], sig, 0.0)
+        rgb_o, depth_o, _ = volume_render(sig, rgb, z_vals)
+        return jnp.sum(rgb_o) + jnp.sum(depth_o)
+
+    g = float(jax.grad(loss_renderer)(jnp.float32(-6.0)))
+    g_ref = float(jax.grad(loss_manual)(jnp.float32(-6.0)))
+    assert np.isfinite(g), f"pose gradient is {g}"
+    np.testing.assert_allclose(g, g_ref, rtol=1e-5)
