@@ -55,8 +55,14 @@ def apply_obj_coord_transform(xyz, viewdir, shapenet_obj_cood: bool,
 
 
 def frustum_near_far(cam_pose, obj_diag):
-    """near/far = ||t_c2o|| -/+ diag/2 (reference utils.py:467-469)."""
-    dist = jnp.linalg.norm(cam_pose[:, 3])
+    """near/far = ||t_c2o|| -/+ diag/2 (reference utils.py:467-469).
+
+    CONSTANT w.r.t. the pose: the reference computes the distance from
+    `cam_pose[:, -1].tolist()` — detached python floats — so its z samples
+    never backprop into the translation through near/far (pose gradients
+    reach the loss only through ray origins/directions). Mirror that with a
+    stop_gradient; same treatment as the AABB bounds (render_rays_aabb)."""
+    dist = jnp.linalg.norm(jax.lax.stop_gradient(cam_pose[:, 3]))
     return dist - obj_diag / 2, dist + obj_diag / 2
 
 

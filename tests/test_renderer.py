@@ -171,3 +171,50 @@ def test_render_rays_aabb_pose_grad_detached_bounds():
     g_ref = float(jax.grad(loss_manual)(jnp.float32(-6.0)))
     assert np.isfinite(g), f"pose gradient is {g}"
     np.testing.assert_allclose(g, g_ref, rtol=1e-5)
+
+
+def test_render_rays_frustum_pose_grad_detached_near_far():
+    """frustum_near_far is constant w.r.t. the pose: the reference computes
+    it from cam_pose[:, -1].tolist() — detached python floats (reference
+    utils.py:467-469) — so z samples never backprop into the translation.
+    Pin the pose gradient against a manual pipeline with explicitly
+    detached near/far."""
+    from supnerf_tpu.geometry.rays import get_rays, sample_from_rays
+    from supnerf_tpu.ops.volume_render import volume_render
+    from supnerf_tpu.render.renderer import apply_obj_coord_transform
+
+    def field_fn(xyz, vd):
+        sig = jnp.sum(xyz ** 2, axis=-1, keepdims=True)
+        rgb = jax.nn.sigmoid(xyz + vd)
+        return sig, rgb
+
+    K_c = jnp.asarray([[100.0, 0, 32], [0, 100, 32], [0, 0, 1]])
+    roi = jnp.asarray([24.0, 24.0, 40.0, 40.0])
+    diag = jnp.float32(5.3)
+    key = jax.random.PRNGKey(0)
+
+    def loss_renderer(tz):
+        cam = jnp.concatenate(
+            [jnp.eye(3), jnp.stack([0.0, 0.0, tz])[:, None]], axis=1)
+        out = rnd.render_rays_frustum(
+            field_fn, key, cam, K_c, roi, diag,
+            n_samples=8, im_sz=8, shapenet_obj_cood=True)
+        return jnp.sum(out["rgb"]) + jnp.sum(out["depth"])
+
+    def loss_manual(tz):
+        cam = jnp.concatenate(
+            [jnp.eye(3), jnp.stack([0.0, 0.0, tz])[:, None]], axis=1)
+        rays_o, viewdir = get_rays(K_c, cam, roi, (8, 8))
+        dist = jnp.linalg.norm(jax.lax.stop_gradient(cam[:, 3]))
+        xyz, vds, z_vals = sample_from_rays(
+            key, rays_o, viewdir, dist - diag / 2, dist + diag / 2, 8)
+        xyz = xyz / diag
+        xyz, vds = apply_obj_coord_transform(xyz, vds, True)
+        sig, rgb = field_fn(xyz, vds)
+        rgb_o, depth_o, _ = volume_render(sig, rgb, z_vals[None, :])
+        return jnp.sum(rgb_o) + jnp.sum(depth_o)
+
+    g = float(jax.grad(loss_renderer)(jnp.float32(-6.0)))
+    g_ref = float(jax.grad(loss_manual)(jnp.float32(-6.0)))
+    assert np.isfinite(g)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-5)
