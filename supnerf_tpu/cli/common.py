@@ -28,6 +28,10 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices for the data-parallel mesh")
+    p.add_argument("--gpu", type=int, default=None,
+                   help="compat: the reference CLIs' GPU index "
+                        "(optimize_nuscenes.py --gpu). Accepted and ignored "
+                        "— device selection is JAX's (see --devices)")
     p.add_argument("--coordinator", type=str, default=None,
                    help="multi-host coordinator address (host:port) for DCN "
                         "runs; also honored from JAX_COORDINATOR_ADDRESS")

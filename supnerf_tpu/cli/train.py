@@ -24,6 +24,13 @@ def main(argv=None):
     add_common_args(p)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--gpus", type=int, default=None,
+                   help="compat: the reference's DataParallel device count "
+                        "(train_nuscenes.py --gpus); used as --devices when "
+                        "--devices is not given")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="host-side prefetch worker threads (reference "
+                        "train_nuscenes.py --num_workers)")
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--pretrained_model_dir", type=str, default=None)
     p.add_argument("--resume_from_epoch", type=int, default=None)
@@ -56,6 +63,8 @@ def main(argv=None):
     from supnerf_tpu.cli.common import maybe_multihost
 
     maybe_multihost(args)
+    if args.devices is None and args.gpus:
+        args.devices = args.gpus
     hpams = resolve_hpams(args)
     if args.render_sz:
         hpams["render_sz"] = args.render_sz
@@ -85,7 +94,7 @@ def main(argv=None):
     from supnerf_tpu.cli.common import maybe_profile
 
     with maybe_profile(args):
-        trainer.train(args.epochs)
+        trainer.train(args.epochs, num_workers=args.num_workers)
     print(f"training done; checkpoints in {save_dir}")
 
 

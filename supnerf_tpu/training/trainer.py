@@ -202,9 +202,9 @@ class UnifiedTrainer:
         return batch
 
     # -- loop ----------------------------------------------------------------
-    def train(self, epochs: int):
+    def train(self, epochs: int, num_workers: int = 4):
         while self.nepoch < epochs:
-            self.training_epoch()
+            self.training_epoch(num_workers=num_workers)
             if (self.nepoch + 1) % self.save_every == 0 or \
                     self.nepoch == epochs - 1:
                 # device_get fetches the whole state with async per-leaf

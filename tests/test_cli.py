@@ -109,3 +109,46 @@ def test_auto_save_postfix_matches_reference_rules():
         mkargs(add_pose_err=3, pred_box2d=1, num_subset=4, id_subset=2),
         {"arch": "autorfmix", "net_hyperparams": {}}, "kitti")
     assert post == "_kitti_opt_pose_1_poss_pred_det3d_pred_box2d_subset_2_of_4"
+
+
+def test_reference_readme_commands_parse_verbatim():
+    """The reference README's published commands must parse unchanged
+    (drop-in compatibility): optimize with --gpu/--reg_iter (README.md:196,
+    219, 241 — note the README spells --reg_iter without the s) and train
+    with --gpus/--num_workers (README.md:263)."""
+    import argparse
+
+    from supnerf_tpu.cli.common import add_common_args, add_optimize_args
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    add_optimize_args(p)
+    a = p.parse_args(
+        "--config_file jsonfiles/supnerf.nusc.vehicle.car.json --gpu 0 "
+        "--add_pose_err 2 --reg_iter 3 --vis 0".split())
+    assert a.gpu == 0 and a.reg_iters == 3 and a.add_pose_err == 2
+
+    from supnerf_tpu.cli import train as train_cli
+
+    # the train CLI builds its parser inside main(); intercept parse_args to
+    # check the parsed namespace and stop before any training work
+    argv = ("--config_file jsonfiles/supnerf.nusc.vehicle.car.json --gpus 4 "
+            "--batch_size 48 --num_workers 16 --epochs 40").split()
+    seen = {}
+    orig = argparse.ArgumentParser.parse_args
+
+    def spy(self, args=None, namespace=None):
+        ns = orig(self, args, namespace)
+        seen.update(vars(ns))
+        raise SystemExit(0)  # stop main() before any work
+
+    argparse.ArgumentParser.parse_args = spy
+    try:
+        try:
+            train_cli.main(argv)
+        except SystemExit:
+            pass
+    finally:
+        argparse.ArgumentParser.parse_args = orig
+    assert seen["gpus"] == 4 and seen["num_workers"] == 16
+    assert seen["batch_size"] == 48 and seen["epochs"] == 40
