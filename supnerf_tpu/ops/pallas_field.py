@@ -604,24 +604,20 @@ def resolve_decoder_kernel_config(model, variables):
     PE degrees, compute dtype, tile sizes, and interpret mode (CPU tests run
     the kernels in f32 interpret mode; the per-object tile fit for training
     shrinks tiles further as needed)."""
-    dec = variables["params"].get("decoder")
-    # "shape_latent_layer_1" distinguishes the CodeNeRF conditioned-latent
-    # structure from raw AutoRF's feature-averaging decoder, which shares
-    # "encoding_xyz" but has none of the latent-projection layers the
-    # kernels compute (pack_decoder_params would KeyError on it)
-    if dec is None or "encoding_xyz" not in dec or "shape_latent_layer_1" not in dec:
+    # decoder_kernel_compatible checks every layer pack_decoder_params will
+    # index (distinguishing the CodeNeRF conditioned-latent structure from
+    # raw AutoRF's feature-averaging decoder, rejecting partial checkpoints,
+    # and rejecting zero block counts — the backward kernels jnp.stack
+    # per-block gradient rows, undefined for zero blocks) so incompatibility
+    # surfaces as this ValueError rather than a KeyError mid-packing
+    if not decoder_kernel_compatible(model, variables):
         raise ValueError(
-            "field_impl='pallas' needs a CodeNeRF-style decoder scope "
+            "field_impl='pallas' needs a CodeNeRF-style decoder scope with "
+            ">=1 shape/texture blocks and the full layer set "
             "(SUPNeRF / AutoRFMix / CodeNeRF)")
+    dec = variables["params"]["decoder"]
     n_sb = getattr(model, "shape_blocks", 3)
     n_tb = getattr(model, "texture_blocks", 1)
-    if n_sb < 1 or n_tb < 1:
-        # the backward kernels jnp.stack per-block gradient rows, which is
-        # undefined for zero blocks (and (0, W, W) output blocks would be
-        # invalid anyway) — reject here rather than failing at trace time
-        raise ValueError(
-            f"field_impl='pallas' requires shape_blocks >= 1 and "
-            f"texture_blocks >= 1 (got {n_sb}/{n_tb})")
     packed = pack_decoder_params(dec, n_sb, n_tb)
     interp = jax.default_backend() == "cpu"
     kwargs = dict(
@@ -635,22 +631,52 @@ def resolve_decoder_kernel_config(model, variables):
     return packed, kwargs
 
 
+def decoder_kernel_compatible(model, variables) -> bool:
+    """Cheap structural check (dict lookups only — no packing) that the
+    decoder scope has EVERY layer pack_decoder_params will index: the
+    CodeNeRF conditioned-latent structure with >=1 shape/texture blocks.
+    True iff resolve_decoder_kernel_config would succeed end-to-end."""
+    dec = variables["params"].get("decoder")
+    if dec is None:
+        return False
+    n_sb = getattr(model, "shape_blocks", 3)
+    n_tb = getattr(model, "texture_blocks", 1)
+    if n_sb < 1 or n_tb < 1:
+        return False
+    required = (["encoding_xyz", "encoding_shape", "sigma",
+                 "encoding_viewdir", "rgb_hidden", "rgb_out"]
+                + [f"shape_layer_{j + 1}" for j in range(n_sb)]
+                + [f"shape_latent_layer_{j + 1}" for j in range(n_sb)]
+                + [f"texture_layer_{j + 1}" for j in range(n_tb)]
+                + [f"texture_latent_layer_{j + 1}" for j in range(n_tb)])
+    return all(k in dec for k in required)
+
+
 def resolve_field_impl(requested: str, model, variables) -> str:
     """Resolve the 'auto' field implementation: 'pallas' when running on an
-    accelerator backend AND the decoder is kernel-compatible (CodeNeRF-style
-    scope, >=1 shape/texture blocks — exactly resolve_decoder_kernel_config's
-    acceptance), else 'flax' (XLA autodiff; on CPU the kernels would run in
-    interpret mode, which is only meant for tests). Explicit 'flax'/'pallas'
-    pass through untouched, including their error behavior."""
+    accelerator backend AND the decoder is kernel-compatible
+    (decoder_kernel_compatible — the exact layer set the kernels pack), else
+    'flax' (XLA autodiff; on CPU the kernels would run in interpret mode,
+    which is only meant for tests). Explicit 'flax'/'pallas' pass through
+    untouched, including their error behavior."""
     if requested != "auto":
         return requested
     if jax.default_backend() == "cpu":
         return "flax"
-    try:
-        resolve_decoder_kernel_config(model, variables)
-    except ValueError:
-        return "flax"
-    return "pallas"
+    return "pallas" if decoder_kernel_compatible(model, variables) else "flax"
+
+
+def resolve_field_impl_cfg(cfg, model, variables):
+    """dataclasses.replace(cfg, field_impl=<resolved>) when cfg.field_impl
+    is 'auto'; cfg unchanged otherwise. The single helper behind every
+    'auto' call site (TTO core/driver, multiview, trainer) so the
+    resolution policy cannot diverge between them."""
+    if cfg.field_impl != "auto":
+        return cfg
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, field_impl=resolve_field_impl("auto", model, variables))
 
 
 # --------------------------------------------------------------------------

@@ -27,7 +27,10 @@ Applicability / contracts:
     z_vals (R, S) + a hit mask — the AABB ray-box-bounds contract of
     renderer.render_rays_aabb (reference render_rays_v3, renderer.py:382) —
     streaming z/delta/hit as (TILE_R, S)/(TILE_R, 1) tiles; the backward
-    emits per-ray z cotangents (pose gradient through the box bounds).
+    emits per-ray z cotangents. NOTE: in TTO those dz dead-end — the
+    renderer stop_gradients the box bounds exactly like the reference's
+    detached-numpy intersection (renderer.py:426) — but they are computed
+    exactly for callers that differentiate z_vals.
 
 Kernel layout (per grid step, TILE_R rays x S samples = m rows):
   - the MLP runs point-major (m, K) as in pallas_field (MXU-shaped);
@@ -763,10 +766,13 @@ def field_composite_apply(packed: dict, xyz, viewdir, z_vals, shapecode,
     (sigma, rgb) or (dsig, drgb) ever touches HBM on either pass, and the
     XLA-side compositing graph of the field_apply_pallas path disappears.
 
-    Gradients flow to xyz, the per-ray viewdir, the SHARED z_vals (-> pose
-    through sampling: near/far depend on the object translation), and the
+    Gradients flow to xyz, the per-ray viewdir, the SHARED z_vals, and the
     codes via the conditioned latents. Decoder weights receive ZERO cotangent
-    (frozen-decoder TTO, reference optimizer_nuscenes.py:1762).
+    (frozen-decoder TTO, reference optimizer_nuscenes.py:1762). NOTE: at the
+    TTO call sites the dz cotangent dead-ends — the renderer detaches the
+    sampling range from the pose (frustum_near_far stop_gradient, mirroring
+    the reference's .tolist() floats, utils.py:467-469) — but it is computed
+    exactly for any caller that does differentiate z_vals.
 
     xyz: (R, S, 3); viewdir (R, 3) or (R, S, 3) constant per ray;
     z_vals (S,) shared across rays (reference sample_from_rays distribution,
@@ -842,8 +848,9 @@ def _make_render_aabb_core(n_samples: int, shape_blocks: int,
                            interpret: bool):
     """custom_vjp core over (xyz (R,S,3), vd (R,3), z_vals (R,S), hit (R,),
     zs, zt, wt) -> (rgb, depth, acc). Weights and hit get ZERO cotangent;
-    z_vals' cotangent is PER RAY (flows to pose through the ray-box
-    intersection bounds)."""
+    z_vals' cotangent is PER RAY (discarded in TTO: render_rays_aabb
+    stop_gradients the bounds like the reference's detached intersection,
+    renderer.py:426)."""
 
     def encode(xyz, vd):
         pe = _pe_for_dtype(dtype)
@@ -897,9 +904,11 @@ def field_composite_aabb_apply(packed: dict, xyz, viewdir, z_vals, hit,
     """DIFFERENTIABLE fused render for the AABB-bounded TTO loop (demo
     protocol, reference render_rays_v3): per-ray z_vals (R, S) + hit (R,)
     instead of field_composite_apply's shared z contract. Gradients flow to
-    xyz, the per-ray viewdir, the PER-RAY z_vals (-> pose through the
-    ray-box bounds), and the codes; hit and decoder weights receive zero
-    cotangent (frozen-decoder TTO)."""
+    xyz, the per-ray viewdir, the PER-RAY z_vals, and the codes; hit and
+    decoder weights receive zero cotangent (frozen-decoder TTO). NOTE: in
+    TTO the dz cotangent dead-ends — render_rays_aabb stop_gradients the
+    bounds (reference renderer.py:426 detached-numpy semantics) — but it is
+    exact for callers that differentiate z_vals."""
     if viewdir.ndim == 3:
         viewdir = viewdir[:, 0, :]
     zs, zt = conditioned_latents(packed, shapecode, texturecode)

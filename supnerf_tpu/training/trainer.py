@@ -127,13 +127,10 @@ class UnifiedTrainer:
             # with a kernel-compatible decoder, XLA autodiff otherwise.
             # init_train_state does not depend on field_impl, so resolving
             # after it is safe.
-            import dataclasses
+            from supnerf_tpu.ops.pallas_field import resolve_field_impl_cfg
 
-            from supnerf_tpu.ops.pallas_field import resolve_field_impl
-
-            self.cfg = dataclasses.replace(
-                self.cfg, field_impl=resolve_field_impl(
-                    "auto", self.model, {"params": self.state.params}))
+            self.cfg = resolve_field_impl_cfg(
+                self.cfg, self.model, {"params": self.state.params})
         if self.mesh is not None:
             self.state = replicate_pytree(self.state, self.mesh)
         self.step_fn = make_train_step(self.model, self.cfg, donate=False,

@@ -223,10 +223,9 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
     if cfg.use_aabb_render and cfg.sym_loss_coef > 0:
         raise ValueError("sym_loss requires the frustum renderer (sample reuse)")
     if cfg.field_impl == "auto":
-        from supnerf_tpu.ops.pallas_field import resolve_field_impl
+        from supnerf_tpu.ops.pallas_field import resolve_field_impl_cfg
 
-        cfg = dataclasses.replace(
-            cfg, field_impl=resolve_field_impl("auto", model, variables))
+        cfg = resolve_field_impl_cfg(cfg, model, variables)
 
     # ---- 1) encoder (per-object BN batch stats via vmap over batch-of-one) --
     # SUPNeRF encoders return (shape, texture, pose, uv, wlh); AutoRF-style

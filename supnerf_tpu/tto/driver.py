@@ -155,13 +155,9 @@ class TTODriver:
         if self.cfg.field_impl == "auto":
             # 'auto' (the CLI default): fused kernels on accelerators with a
             # kernel-compatible decoder, XLA autodiff otherwise
-            import dataclasses
+            from supnerf_tpu.ops.pallas_field import resolve_field_impl_cfg
 
-            from supnerf_tpu.ops.pallas_field import resolve_field_impl
-
-            self.cfg = dataclasses.replace(
-                self.cfg,
-                field_impl=resolve_field_impl("auto", model, variables))
+            self.cfg = resolve_field_impl_cfg(self.cfg, model, variables)
         os.makedirs(save_dir, exist_ok=True)
 
         self.mesh = make_mesh(n_devices) if n_devices else None

@@ -99,12 +99,9 @@ def run_multiview_tto(model, variables, batch: MultiviewBatch, mean_shape,
     # fused differentiable render only with a FROZEN decoder (the kernels
     # give decoder weights zero cotangent); opt_model keeps the flax path
     if cfg.field_impl == "auto":
-        import dataclasses as _dc
+        from supnerf_tpu.ops.pallas_field import resolve_field_impl_cfg
 
-        from supnerf_tpu.ops.pallas_field import resolve_field_impl
-
-        cfg = _dc.replace(cfg,
-                          field_impl=resolve_field_impl("auto", model, variables))
+        cfg = resolve_field_impl_cfg(cfg, model, variables)
     use_fused = cfg.field_impl == "pallas" and not opt_model
     if use_fused:
         from supnerf_tpu.ops.pallas_field import resolve_decoder_kernel_config

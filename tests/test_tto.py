@@ -281,6 +281,19 @@ def test_resolve_field_impl_auto():
         autorf = AutoRF(shape_blocks=2, texture_blocks=2, latent_dim=32)
         av = init_model_variables(autorf, jax.random.PRNGKey(0), img_size=32)
         assert pf.resolve_field_impl("auto", autorf, av) == "flax"
+        # a PARTIAL checkpoint (has the distinguishing latent layer but is
+        # missing another packed layer) must fall back to flax, not crash
+        import copy
+
+        pv = copy.deepcopy(jax.tree.map(lambda x: x, variables))
+        del pv["params"]["decoder"]["rgb_out"]
+        assert pf.resolve_field_impl("auto", model, pv) == "flax"
+        import pytest
+
+        with pytest.raises(ValueError):
+            # explicit pallas on the partial checkpoint: clean ValueError
+            # from the gate, not a KeyError mid-packing
+            pf.resolve_decoder_kernel_config(model, pv)
 
 
 def test_run_tto_batch_accepts_auto_field_impl():
