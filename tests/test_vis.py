@@ -106,3 +106,39 @@ def test_draw_boxes3d_on_axes_draws_edges():
                   color_by="intensity")
     assert len(ax.collections) == 1
     plt.close(fig)
+
+
+def test_generate_video_vis_assembles_frames(tmp_path):
+    """scripts/generate_video_vis.py (reference generate_video_vis.py:1-15):
+    a directory of optNNN.png panels becomes one video per object dir —
+    mp4 via ffmpeg, or the imageio GIF fallback in ffmpeg-less
+    environments like this one."""
+    import importlib.util
+    import os
+
+    import imageio.v2 as imageio
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "generate_video_vis",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "generate_video_vis.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    d = tmp_path / "ann0_CAM_FRONT"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        imageio.imwrite(str(d / f"opt{i:03d}.png"),
+                        rng.integers(0, 255, (16, 24, 3), dtype=np.uint8))
+    (tmp_path / "not_frames").mkdir()     # ignored: no opt*.png inside
+
+    mod.main([str(tmp_path)])
+
+    outs = [p for p in os.listdir(tmp_path)
+            if p.startswith("ann0_CAM_FRONT.") and p.split(".")[-1] in
+            ("mp4", "gif")]
+    assert len(outs) == 1, os.listdir(tmp_path)
+    assert (tmp_path / outs[0]).stat().st_size > 0
+    assert not any(p.startswith("not_frames.") for p in os.listdir(tmp_path))
