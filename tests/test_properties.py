@@ -102,3 +102,51 @@ def test_positional_encoding_layout(x, deg):
     np.testing.assert_allclose(pe[:, D:D + deg * D], np.sin(y), atol=1e-5)
     np.testing.assert_allclose(pe[:, D + deg * D:], np.cos(y), atol=1e-5)
     assert np.all(np.abs(pe[:, D:]) <= 1.0 + 1e-6)
+
+
+@settings(**_SETTINGS)
+@given(
+    aa=hnp.arrays(np.float32, (3,), elements=_f(-1.75, 1.75)),
+    t=hnp.arrays(np.float32, (3,), elements=_f(-16.0, 16.0)),
+    h=_f(0.5, 3.0),
+)
+def test_obj_pose_frame_round_trip(aa, t, h):
+    """obj_pose kitti -> nusc -> kitti is the identity for any rigid pose
+    and object height (reference kitti2nusc frame shim)."""
+    from supnerf_tpu.geometry.boxes import (
+        obj_pose_kitti2nusc,
+        obj_pose_nusc2kitti,
+    )
+
+    R = axis_angle_to_matrix(jnp.asarray(aa))
+    pose = jnp.concatenate([R, jnp.asarray(t)[:, None]], axis=1)
+    back = obj_pose_nusc2kitti(obj_pose_kitti2nusc(pose, h), h)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pose), atol=1e-5)
+
+
+@settings(**_SETTINGS)
+@given(
+    o=hnp.arrays(np.float32, (6, 3), elements=_f(-3.0, 3.0)),
+    d=hnp.arrays(np.float32, (6, 3), elements=_f(-1.0, 1.0)),
+)
+def test_ray_box_entry_exit_on_surface(o, d):
+    """For every hit ray, the entry/exit points o + t*d lie ON the unit-box
+    surface (max |coord| == 1) and every point strictly between them lies
+    inside; misses are consistent with the slab test."""
+    from supnerf_tpu.geometry.rays import ray_box_intersection
+
+    norms = np.linalg.norm(d, axis=-1)
+    ok = norms > 1e-3
+    if not ok.any():
+        return
+    o, d = o[ok], (d[ok] / norms[ok, None]).astype(np.float32)
+    t_near, t_far, hit = ray_box_intersection(jnp.asarray(o), jnp.asarray(d))
+    t_near, t_far, hit = map(np.asarray, (t_near, t_far, hit))
+    for i in range(o.shape[0]):
+        if not hit[i]:
+            continue
+        for t in (t_near[i], t_far[i]):
+            p = o[i] + t * d[i]
+            assert abs(np.abs(p).max() - 1.0) < 1e-4, (p, t)
+        mid = o[i] + 0.5 * (t_near[i] + t_far[i]) * d[i]
+        assert np.all(np.abs(mid) <= 1.0 + 1e-4)
