@@ -440,6 +440,15 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
                 grads = grads.replace(rot_vec=jnp.zeros_like(grads.rot_vec),
                                       trans_vec=jnp.zeros_like(grads.trans_vec))
 
+            # optimizer re-created (moments reset) at each lr-half boundary,
+            # BEFORE this iteration's step: the reference rebuilds the
+            # optimizer when nopts reaches the boundary (set_optimizers_w_
+            # poses after the nopts increment, optimizer_nuscenes.py:780-783)
+            # so iteration k*interval itself steps with fresh moments
+            reset = jnp.logical_and(t > 0, (t % cfg.lr_half_interval) == 0)
+            fresh = tx.init(params)
+            opt_state = jax.tree.map(
+                lambda f, s: jnp.where(reset, f, s), fresh, opt_state)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             # lr halving by wall iteration (see _make_optimizer)
             lr_scale = 2.0 ** (-(t // cfg.lr_half_interval)).astype(jnp.float32)
@@ -455,11 +464,6 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
                 lambda a, b: jnp.where(use_replay, a, b), params, new_params)
             new_opt_state = jax.tree.map(
                 lambda a, b: jnp.where(use_replay, a, b), opt_state, new_opt_state)
-            # optimizer re-created (moments reset) at each lr-half boundary
-            reset = jnp.logical_and(t > 0, (t % cfg.lr_half_interval) == 0)
-            fresh = tx.init(new_params)
-            new_opt_state = jax.tree.map(
-                lambda f, s: jnp.where(reset, f, s), fresh, new_opt_state)
 
             emit = {
                 "psnr": psnr,
@@ -476,7 +480,11 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
         (params_f, _), curves = jax.lax.scan(
             iter_step, (params0, opt_state0), jnp.arange(cfg.num_opts))
 
-        final_pose = pose_from_params(params_f)
+        # the saved FINAL pose is the pose of the last RENDERED iteration
+        # (pre-final-step): the reference stores pred_obj_poses from loop
+        # body num_opts-1 into optimized_poses[...][-1]
+        # (optimizer_nuscenes.py:788) while CODES take their post-loop values
+        final_pose = curves["pose"][-1]
         # snapshot gather: save iters < num_opts come from the curves (values
         # captured BEFORE the update at that iteration), the last from final.
         save_idx = jnp.array([min(i, cfg.num_opts - 1) for i in CODE_SAVE_ITERS])

@@ -177,10 +177,16 @@ class TTODriver:
             )
 
             # shared gating: clear error for non-CodeNeRF-style decoders,
-            # consistent dtype/interpret/block configuration
+            # consistent dtype/interpret/block/TILE configuration (the
+            # tile_fwd -> tile_m mapping lives in one helper; re-deriving it
+            # here previously dropped the resolved tile and fell back to the
+            # 1024 default even in interpret mode)
+            from supnerf_tpu.ops.pallas_render import (
+                composite_kwargs_from_kernel_config,
+            )
+
             _, kern_kw = resolve_decoder_kernel_config(model, self.variables)
-            fwd_kw = {k: v for k, v in kern_kw.items()
-                      if k not in ("tile_fwd", "tile_bwd")}
+            fwd_kw = composite_kwargs_from_kernel_config(kern_kw)
             # reused by _field_for_v / _composite_for so every forward call
             # site (cross-view eval, vis) gets the same gating/dtype/
             # interpret/tile configuration
@@ -352,6 +358,11 @@ class TTODriver:
         if self.opt_pose == 2:
             # PnP bootstrap needs the encoder's direct-UV prediction first; a
             # cheap encoder-only pass provides it, then poses are re-seeded.
+            # KNOWN COST: the main TTO program re-runs the encoder on the
+            # same images (one extra encoder pass + dispatch per batch in
+            # this non-default mode) — the host-side P3P-RANSAC must see uv
+            # BEFORE the jitted program launches, a boundary the reference's
+            # serial flow doesn't have.
             uv_direct = self._encode_uv(stacked["img_in"])
             for i in range(B):
                 stacked["pose_init"][i] = pnp_bootstrap(
@@ -580,16 +591,24 @@ class TTODriver:
             # which torch.from_numpy warns about
             return torch.from_numpy(np.array(x, np.float32))
 
+        def conv(entry):
+            # single-view entries are {cam: codes}; multiview entries are
+            # FLAT (n_code, latent) arrays per instance — the reference's own
+            # two schemas (optimizer_nuscenes.py:89-90 vs :103)
+            if isinstance(entry, dict):
+                return {c: t(v) for c, v in entry.items()}
+            return t(entry)
+
         saved = {
             "num_obj": len(self.psnr_eval),
             "optimized_shapecodes": {
-                a: {c: t(v) for c, v in cams.items()}
+                a: conv(cams)
                 for a, cams in self.optimized_shapecodes.items()},
             "optimized_texturecodes": {
-                a: {c: t(v) for c, v in cams.items()}
+                a: conv(cams)
                 for a, cams in self.optimized_texturecodes.items()},
             "optimized_poses": {
-                a: {c: t(v) for c, v in cams.items()}
+                a: conv(cams)
                 for a, cams in self.optimized_poses.items()},
             "psnr_eval": {k: [float(x) for x in v]
                           for k, v in self.psnr_eval.items()},
@@ -623,8 +642,12 @@ class TTODriver:
             s = self.dataset[idx]
             by_ins.setdefault(s.get("instoken", str(idx)), []).append(idx)
 
-        mv_jit = jax.jit(lambda b, k: run_multiview_tto(
-            self.model, self.variables, b, self.mean_shape, self.mean_texture,
+        # variables passed as a traced ARG, not closed over: closures bake
+        # the full model params into the program as MLIR constants (can
+        # crash the backend and defeats mesh sharding) — same contract as
+        # _tto_jit / _cross_view_jit
+        mv_jit = jax.jit(lambda v, b, k: run_multiview_tto(
+            self.model, v, b, self.mean_shape, self.mean_texture,
             self.cfg, k, opt_pose=opt_pose, opt_model=opt_model,
             slack_tex=slack_tex))
 
@@ -647,7 +670,11 @@ class TTODriver:
                     [1.0] * V + [0.0] * (v_max - V), jnp.float32),
             )
             self.key, k = jax.random.split(self.key)
-            res = jax.tree.map(np.asarray, mv_jit(batch, k))
+            res = jax.tree.map(np.asarray, mv_jit(self.variables, batch, k))
+            # multiview codes are FLAT (n_code, latent) per instance — the
+            # reference's own multiview schema (optimizer_nuscenes.py:89-90),
+            # distinct from the single-view {ann: {cam: codes}} nesting;
+            # the result writers accept both
             self.optimized_shapecodes[ins] = res["shapecodes_saved"]
             self.optimized_texturecodes[ins] = res["texturecodes_saved"]
             self.psnr_eval[ins] = res["psnr"].tolist()
@@ -773,6 +800,9 @@ class TTODriver:
         cross = {
             "psnr_eval_mat_per_ins": psnr_mat_per_ins,
             "depth_eval_mat_per_ins": depth_mat_per_ins,
+            # empty IN THE REFERENCE TOO: its population lines are commented
+            # out (optimizer_nuscenes.py:1396,1400) as is the consumer
+            # (utils.py:934) — kept for byte-level result-schema parity
             "cnt_lidar_pts_per_ins": {},
             "CODE_SAVE_ITERS_": list(CODE_SAVE_ITERS),
         }

@@ -255,3 +255,28 @@ def test_published_hparams_match_reference_config():
     assert len(samples) == 2
     # random init must actually differ from GT (pose error to recover)
     assert abs(raw["pose_init"] - raw["obj_pose_gt"]).max() > 0.1
+
+
+def test_driver_run_multiview_and_result_schemas(tmp_path):
+    """Driver-level multiview run (reference optimize_objs_multi_anns):
+    shared codes per instance stored FLAT (the reference's own multiview
+    schema, optimizer_nuscenes.py:89-90), psnr curves recorded, and BOTH
+    result writers accept the flat schema — including save_results_pth
+    after a mixed single-view + multiview session."""
+    import torch
+
+    ds = SynthDataset(4, views_per_ins=2)        # 2 instances x 2 views
+    drv = _driver(tmp_path, ds)
+    res = drv.run_multiview(v_max=2)
+
+    assert set(res["optimized_shapecodes"]) == {"ins_0", "ins_1"}
+    codes = res["optimized_shapecodes"]["ins_0"]
+    assert codes.shape[-1] == 32 and codes.ndim == 2   # flat (n_code, latent)
+    assert len(res["psnr_eval"]["ins_0"]) == 6
+    assert os.path.exists(os.path.join(str(tmp_path), "codes_multiview.pkl"))
+
+    # the .pth writer must tolerate flat multiview entries
+    drv.save_results_pth("codes_multiview.pth")
+    saved = torch.load(os.path.join(str(tmp_path), "codes_multiview.pth"),
+                       weights_only=False)
+    assert isinstance(saved["optimized_shapecodes"]["ins_0"], torch.Tensor)
