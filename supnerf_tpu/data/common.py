@@ -18,6 +18,23 @@ NUSC_CAR_WLH_MEAN = np.array([1.9446588, 4.641784, 1.7103361], np.float32)
 NUSC_CAR_WLH_STD = np.array([0.1611075, 0.3961748, 0.20885137], np.float32)
 
 
+def pts_in_box_np(pts_3d, corners_3d, keep_top_portion: float = 1.0):
+    """Boolean mask of 3-D points inside an oriented box given its 8 corners
+    (reference utils.check_pts_in_box; keep_top_portion<1 shrinks the
+    height axis to vote only the top of the box). pts_3d: (3, N);
+    corners_3d: (3, 8). The single canonical copy shared by the KITTI and
+    nuScenes curation layers."""
+    v1 = corners_3d[:, 1:2] - corners_3d[:, 0:1]
+    v2 = (corners_3d[:, 3:4] - corners_3d[:, 0:1]) * keep_top_portion
+    v3 = corners_3d[:, 4:5] - corners_3d[:, 0:1]
+    v_test = pts_3d - corners_3d[:, 0:1]
+    ins = np.ones(pts_3d.shape[1], bool)
+    for v in (v1, v2, v3):
+        proj = (v.T @ v_test)[0]
+        ins &= (proj > 0) & (proj < float((v.T @ v)[0, 0]))
+    return ins
+
+
 def box_iou_xyxy(a, b) -> float:
     """IoU of two [xmin, ymin, xmax, ymax] boxes (intersection over union with
     a's area + b's area - intersection, matching the reference inline math)."""

@@ -19,6 +19,7 @@ import numpy as np
 
 from supnerf_tpu.data.common import (
     get_associate_box_3d,
+    pts_in_box_np,
     get_mask_occ_from_ins,
     get_tgt_ins_from_maskrcnn,
     load_instance_masks,
@@ -43,17 +44,6 @@ def _corners_kitti_np(pose, wlh):
     z = w / 2 * np.array([1, -1, -1, 1, 1, -1, -1, 1])
     return pose[:, :3] @ np.vstack([x, y, z]) + pose[:, 3:4]
 
-
-def _pts_in_box_np(pts_3d, corners_3d, keep_top_portion=1.0):
-    v1 = corners_3d[:, 1:2] - corners_3d[:, 0:1]
-    v2 = (corners_3d[:, 3:4] - corners_3d[:, 0:1]) * keep_top_portion
-    v3 = corners_3d[:, 4:5] - corners_3d[:, 0:1]
-    v_test = pts_3d - corners_3d[:, 0:1]
-    ins = np.ones(pts_3d.shape[1], bool)
-    for v in (v1, v2, v3):
-        proj = (v.T @ v_test)[0]
-        ins &= (proj > 0) & (proj < float((v.T @ v)[0, 0]))
-    return ins
 
 
 class KittiData:
@@ -137,7 +127,7 @@ class KittiData:
                 obj_pose = _kitti_obj_pose(obj, K, calib.P)
                 wlh = np.array([obj.w, obj.l, obj.h], np.float32)
                 corners_3d = _corners_kitti_np(obj_pose, wlh)
-                in_box = _pts_in_box_np(imgfov_pc_rect, corners_3d, 0.9)
+                in_box = pts_in_box_np(imgfov_pc_rect, corners_3d, 0.9)
                 lidar_im_ann = lidar_pts_im[:, in_box]
                 lidar_im_ann = np.concatenate(
                     [lidar_im_ann, np.ones((1, lidar_im_ann.shape[1]))], axis=0)
@@ -239,7 +229,7 @@ class KittiData:
         lidar_im = pts_2d[fov_inds].T
         rect = calib.project_velo_to_rect(imgfov_pc_velo).T
         corners_3d = _corners_kitti_np(obj_pose, wlh)
-        in_box = _pts_in_box_np(rect, corners_3d, 0.9)
+        in_box = pts_in_box_np(rect, corners_3d, 0.9)
         u = lidar_im[0, in_box]
         v = lidar_im[1, in_box]
         d = rect[2, in_box]

@@ -25,6 +25,7 @@ import numpy as np
 from supnerf_tpu.data.common import (
     NUSC_CAR_WLH_MEAN,
     get_associate_box_3d,
+    pts_in_box_np,
     get_mask_occ_from_ins,
     get_tgt_ins_from_maskrcnn,
     load_instance_masks,
@@ -46,17 +47,6 @@ def _splits(nusc_version: str, split: str):
     return {"train": nusc_splits.train, "val": nusc_splits.val,
             "test": nusc_splits.test}[split]
 
-
-def _pts_in_box_np(pts_3d, corners_3d, keep_top_portion=1.0):
-    v1 = corners_3d[:, 1:2] - corners_3d[:, 0:1]
-    v2 = (corners_3d[:, 3:4] - corners_3d[:, 0:1]) * keep_top_portion
-    v3 = corners_3d[:, 4:5] - corners_3d[:, 0:1]
-    v_test = pts_3d - corners_3d[:, 0:1]
-    ins = np.ones(pts_3d.shape[1], bool)
-    for v in (v1, v2, v3):
-        proj = (v.T @ v_test)[0]
-        ins &= (proj > 0) & (proj < float((v.T @ v)[0, 0]))
-    return ins
 
 
 class NuScenesData:
@@ -183,7 +173,7 @@ class NuScenesData:
                     lidar_im, lidar_depth, _ = self.nusc.explorer.map_pointcloud_to_image(
                         rec["data"]["LIDAR_TOP"], rec["data"][cam])
                     lidar_cam = np.linalg.inv(K) @ lidar_im * lidar_depth
-                    in_box = _pts_in_box_np(lidar_cam, box.corners(), 0.9)
+                    in_box = pts_in_box_np(lidar_cam, box.corners(), 0.9)
                     lidar_im_ann = lidar_im[:, in_box]
 
                     stem = os.path.basename(data_path)[:-4]
@@ -316,7 +306,7 @@ class NuScenesData:
         lidar_im, lidar_depth, _ = self.nusc.explorer.map_pointcloud_to_image(
             rec["data"]["LIDAR_TOP"], rec["data"][cam])
         lidar_cam = np.linalg.inv(K) @ lidar_im * lidar_depth
-        in_box = _pts_in_box_np(lidar_cam, box.corners(), 0.9)
+        in_box = pts_in_box_np(lidar_cam, box.corners(), 0.9)
         u = lidar_im[0, in_box]
         v = lidar_im[1, in_box]
         d = lidar_depth[in_box]
@@ -330,11 +320,20 @@ class NuScenesData:
     # -- multiview / demo -----------------------------------------------------
     def get_ins_samples(self, instoken: str):
         """All samples of one instance (reference get_ins_samples :716 used by
-        multiview optimization and cross-view evaluation)."""
+        multiview optimization and cross-view evaluation).
+
+        anntokens_per_ins lists EVERY annotation of the instance, but the
+        sample list may have been trimmed (test_size subsetting, num_subset
+        sharding) — skip annotations no longer present instead of crashing,
+        via an O(1) lookup table instead of a per-call list scan."""
+        if not hasattr(self, "_sample_idx"):
+            self._sample_idx = {tuple(s): i for i, s
+                                in enumerate(self.all_valid_samples)}
         out = []
         for anntoken, cam in self.anntokens_per_ins.get(instoken, []):
-            idx = self.all_valid_samples.index([anntoken, cam])
-            out.append(self[idx])
+            idx = self._sample_idx.get((anntoken, cam))
+            if idx is not None:
+                out.append(self[idx])
         return out
 
     def get_objects_in_image(self, img_name: str):
@@ -353,15 +352,22 @@ class NuScenesData:
 
         stem = os.path.basename(data_path)[:-4]
         preds, masks = load_instance_masks(os.path.join(self.seg_dir, cam), stem)
-        objects = []
+        # seg_cat filter FIRST, then occupancy from the FILTERED mask list and
+        # predicted boxes enlarged by box2d_rz_ratio — exactly the reference's
+        # demo curation (data_nuscenes.py:981-994): other-category detections
+        # read as background (-1), not occluders (0), and every ROI is the
+        # 1.2x-enlarged box
+        from supnerf_tpu.geometry.roi import roi_resize
+
+        ins_masks, boxes = [], []
         for i, label in enumerate(preds["labels"]):
-            if self.seg_cat not in label:
-                continue
-            mask = np.asarray(masks[i])
-            if (mask > 0).sum() < self.mask_pixels:
-                continue
-            mask_occ = get_mask_occ_from_ins(masks, i).astype(np.float32)
-            box = np.asarray(preds["boxes"][i], np.float64)
+            if self.seg_cat in label:
+                ins_masks.append(np.asarray(masks[i]))
+                boxes.append(np.asarray(
+                    roi_resize(preds["boxes"][i], self.box2d_rz_ratio)))
+        objects = []
+        for i, (mask, box) in enumerate(zip(ins_masks, boxes)):
+            mask_occ = get_mask_occ_from_ins(ins_masks, i).astype(np.float32)
             objects.append({
                 "imgs": img,
                 "masks_occ": mask_occ,

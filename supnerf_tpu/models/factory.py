@@ -37,6 +37,7 @@ def build_model(arch: str, net_hyperparams: dict):
             latent_dim=hp.get("latent_dim", 128),
             num_xyz_freq=hp.get("num_xyz_freq", 10),
             num_dir_freq=hp.get("num_dir_freq", 4),
+            norm_layer_type=hp.get("norm_layer_type", "BatchNorm2d"),
         )
     if arch == "autorf_original":
         return AutoRF(
@@ -45,6 +46,7 @@ def build_model(arch: str, net_hyperparams: dict):
             latent_dim=hp.get("latent_dim", 128),
             num_xyz_freq=hp.get("num_xyz_freq", 10),
             num_dir_freq=hp.get("num_dir_freq", 4),
+            norm_layer_type=hp.get("norm_layer_type", "BatchNorm2d"),
         )
     if arch == "codenerf":
         return CodeNeRF(

@@ -138,10 +138,35 @@ def import_supnerf_state_dict(model, state_dict) -> dict:
     }
 
 
+def import_autorf_original_decoder(sd, shape_blocks: int, texture_blocks: int):
+    """Reference ORIGINAL AutoRF decoder state_dict (feature-averaging
+    decoder, model_autorf.py:123-186 — layer set: encoding_xyz,
+    shape_layer_{0..n-2}, sigma, texture_layer_{0..n-2}, rgb; NO latent
+    projection layers) -> flax params for models.nerf_mlp.AutoRFDecoder."""
+    params = {
+        "encoding_xyz": _import_dense(sd, "encoding_xyz.0"),
+        "sigma": _import_dense(sd, "sigma.0"),
+        "rgb": _import_dense(sd, "rgb.0"),
+    }
+    for j in range(shape_blocks - 1):
+        params[f"shape_layer_{j}"] = _import_dense(sd, f"shape_layer_{j}.0")
+    for j in range(texture_blocks - 1):
+        params[f"texture_layer_{j}"] = _import_dense(sd, f"texture_layer_{j}.0")
+    return params
+
+
 def import_autorf_state_dict(model, state_dict) -> dict:
+    from supnerf_tpu.models.autorf import AutoRF
+
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     enc_p, enc_bs = import_encoder(sd, heads=("shape", "texture"), pred_wlh=False)
-    dec_p = import_decoder(sd, model.shape_blocks, model.texture_blocks)
+    if isinstance(model, AutoRF):
+        # the ORIGINAL feature-averaging decoder has a different layer set
+        # than the CodeNeRF-style one the mix variant uses
+        dec_p = import_autorf_original_decoder(
+            sd, model.shape_blocks, model.texture_blocks)
+    else:
+        dec_p = import_decoder(sd, model.shape_blocks, model.texture_blocks)
     return {
         "params": {"img_encoder": enc_p, "decoder": dec_p},
         "batch_stats": {"img_encoder": enc_bs},

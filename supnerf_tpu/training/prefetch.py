@@ -39,6 +39,18 @@ class PrefetchBatcher:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item):
+            # bounded-wait put that re-checks stop: a plain q.put can block
+            # forever on the full queue when the consumer exited early
+            # (step failure / generator closed), leaking this thread and the
+            # worker pool for the life of the process
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -47,11 +59,11 @@ class PrefetchBatcher:
                             return
                         idxs = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
                         rows = list(pool.map(self.prepare_fn, idxs))
-                        q.put(self.collate_fn(rows))
+                        put(self.collate_fn(rows))
             except Exception as e:  # surfaced on the consumer side
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -110,10 +110,19 @@ class UnifiedTrainer:
             except Exception:
                 self.writer = None
 
-        # instance -> code index map
+        # instance -> code index map. Fast path via the curation index when
+        # the dataset exposes it (NuScenesData): the reference builds this
+        # from the index with ZERO sample loads (trainer_unified_nuscenes.py:
+        # 239-243); the per-sample fallback would trigger a full __getitem__
+        # (image decode + masks + lidar) per sample just to read 'instoken'.
         self.instoken2idx = {}
-        for i in range(len(dataset)):
-            tok = self._instoken(i)
+        if hasattr(dataset, "all_valid_samples") and \
+                hasattr(dataset, "instoken_per_ann"):
+            toks = (dataset.instoken_per_ann.get(ann, ann)
+                    for ann, _cam in dataset.all_valid_samples)
+        else:
+            toks = (self._instoken(i) for i in range(len(dataset)))
+        for tok in toks:
             if tok not in self.instoken2idx:
                 self.instoken2idx[tok] = len(self.instoken2idx)
 
@@ -164,8 +173,24 @@ class UnifiedTrainer:
             s["rois"] = roi_aug.astype(np.int32)
         K = jnp.asarray(s["cam_intrinsics"])
         roi_f = jnp.asarray(np.asarray(s["rois"], np.float32))
-        k = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-        src_pose = np.asarray(pose_gen.get_random_pose2(k, K, roi_f, trans_lim=0.3))
+        if getattr(self.dataset, "add_pose_err", None) in (1, 3) \
+                and "obj_poses_w_err" in s:
+            # the refiner's SOURCE pose is the dataset's injected-error pose,
+            # exactly like the reference trainer (trainer_unified_nuscenes.py:
+            # 295 src_pose_batch = batch_data['obj_poses_w_err']) — so modes
+            # 1 (fixed-magnitude perturbation) and 3 (3rd-party detections)
+            # govern the training error distribution instead of being
+            # silently ignored.
+            src_pose = np.asarray(s["obj_poses_w_err"], np.float32)
+        else:
+            # mode 2 / default: a FRESH random pose per (seed, salt=epoch,
+            # idx) row — the reference's mode-2 dataset draws a new random
+            # pose on every access too; regenerating here (rather than using
+            # a cached sample's stored pose) keeps per-epoch diversity for
+            # datasets that precompute their samples (synthetic fixtures)
+            k = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+            src_pose = np.asarray(
+                pose_gen.get_random_pose2(k, K, roi_f, trans_lim=0.3))
         row = prepare_train_sample(
             s,
             n_rays=self.hpams.get("n_rays", 1024),
@@ -189,14 +214,6 @@ class UnifiedTrainer:
             row["wlh_aug"] = wlh_aug
             row["tgt_uv_aug"] = uv_aug.astype(np.float32)
         return row
-
-    def _make_batch(self, idxs):
-        rows = [self._prepare_row(i) for i in idxs]
-        stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-        batch = TrainBatch(**{k: jnp.asarray(v) for k, v in stacked.items()})
-        if self.mesh is not None:
-            batch = shard_pytree_batch(batch, self.mesh)
-        return batch
 
     # -- loop ----------------------------------------------------------------
     def train(self, epochs: int, num_workers: int = 4):

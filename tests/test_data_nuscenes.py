@@ -151,9 +151,12 @@ def test_get_objects_in_image_demo_path(nusc_root):
     ds = _make(nusc_root)
     out = ds.get_objects_in_image("img_0_0.png")
     assert out["img"].shape == (IMG_H, IMG_W, 3)
-    # two full-size cars; the small occluder car is below mask_pixels and the
-    # pedestrian is category-filtered
-    assert len(out["objects"]) == 2
+    # ALL category-matching detections, including the small occluder car —
+    # the reference demo path has no pixel-count gate (data_nuscenes.py:
+    # 977-987); only the pedestrian is category-filtered, and its pixels
+    # must read background (-1) rather than occluder (0) because mask_occ is
+    # built from the seg_cat-FILTERED mask list
+    assert len(out["objects"]) == 3
     for obj in out["objects"]:
         assert obj["rois"].shape == (4,)
         assert obj["cam_intrinsics"].shape == (3, 3)

@@ -189,3 +189,81 @@ def test_supnerf_import_structure(rng):
                              mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(sc), np.asarray(out_ref[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(wlh), np.asarray(out_ref[4]), atol=1e-5)
+
+
+def _make_torch_autorf_original_sd(rng, W=32, shape_blocks=3,
+                                   texture_blocks=3, d_xyz=63, d_dir=27):
+    """State_dict with the ORIGINAL AutoRF decoder layer set (reference
+    model_autorf.py:138-151): no latent-projection layers, last texture
+    layer and rgb take concat(feat, dir_pe)."""
+    sd = {}
+
+    def put(name, d):
+        sd[name + ".weight"] = d["weight"]
+        sd[name + ".bias"] = d["bias"]
+
+    put("encoding_xyz.0", _rand_dense(rng, d_xyz, W))
+    for j in range(shape_blocks - 1):
+        put(f"shape_layer_{j}.0", _rand_dense(rng, W, W))
+    put("sigma.0", _rand_dense(rng, W, 1))
+    for j in range(texture_blocks - 2):
+        put(f"texture_layer_{j}.0", _rand_dense(rng, W, W))
+    put(f"texture_layer_{texture_blocks - 2}.0",
+        _rand_dense(rng, W + d_dir, W))
+    put("rgb.0", _rand_dense(rng, W + d_dir, 3))
+    return sd
+
+
+def _np_reference_autorf_original(sd, xyz, vd, sf0, tf0, shape_blocks=3,
+                                  texture_blocks=3):
+    """Numpy replica of the reference original-AutoRF forward
+    (model_autorf.py:157-186: feature averaging with the positional feature
+    between layers, sigmoid rgb)."""
+    relu = lambda x: np.maximum(x, 0)
+
+    def lin(name, x):
+        return x @ sd[name + ".weight"].T + sd[name + ".bias"]
+
+    def pe(x, L):
+        f = 2.0 ** np.arange(L, dtype=np.float32)
+        y = (x[..., None, :] * f[:, None]).reshape(*x.shape[:-1], -1)
+        return np.concatenate([x, np.sin(y), np.cos(y)], -1)
+
+    xpe, dpe = pe(xyz, 10), pe(vd, 4)
+    pos = relu(lin("encoding_xyz.0", xpe))
+    sf = np.broadcast_to(sf0, pos.shape)
+    for j in range(shape_blocks - 1):
+        sf = relu(lin(f"shape_layer_{j}.0", (sf + pos) / 2))
+    sig = np.log1p(np.exp(lin("sigma.0", (sf + pos) / 2)))
+    tf = np.broadcast_to(tf0, pos.shape)
+    for j in range(texture_blocks - 2):
+        tf = relu(lin(f"texture_layer_{j}.0", (tf + pos) / 2))
+    tf = (tf + sf + pos) / 3
+    tf = np.concatenate([tf, np.broadcast_to(dpe, tf.shape[:-1] + dpe.shape[-1:])], -1)
+    tf = relu(lin(f"texture_layer_{texture_blocks - 2}.0", tf))
+    tf = (tf + pos) / 2
+    tf = np.concatenate([tf, np.broadcast_to(dpe, tf.shape[:-1] + dpe.shape[-1:])], -1)
+    rgb = 1.0 / (1.0 + np.exp(-lin("rgb.0", tf)))
+    return sig, rgb
+
+
+def test_autorf_original_decoder_import_numerics(rng):
+    """import_autorf_original_decoder: the flax AutoRFDecoder with imported
+    weights reproduces the reference original-AutoRF forward byte-for-byte
+    (previously this checkpoint family crashed the importer with a KeyError
+    on the CodeNeRF-only layer names)."""
+    from supnerf_tpu.models.nerf_mlp import AutoRFDecoder
+    from supnerf_tpu.models.torch_import import import_autorf_original_decoder
+
+    sd = _make_torch_autorf_original_sd(rng)
+    params = import_autorf_original_decoder(sd, 3, 3)
+    model = AutoRFDecoder(shape_blocks=3, texture_blocks=3, latent_dim=32)
+    xyz = rng.normal(size=(5, 4, 3)).astype(np.float32) * 0.3
+    vd = rng.normal(size=(5, 4, 3)).astype(np.float32)
+    sf = rng.normal(size=(32,)).astype(np.float32) * 0.2
+    tf = rng.normal(size=(32,)).astype(np.float32) * 0.2
+    sig, rgb = model.apply({"params": params}, jnp.asarray(xyz),
+                           jnp.asarray(vd), jnp.asarray(sf), jnp.asarray(tf))
+    sig_ref, rgb_ref = _np_reference_autorf_original(sd, xyz, vd, sf, tf)
+    np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb), rgb_ref, atol=2e-5)
