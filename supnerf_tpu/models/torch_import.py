@@ -207,3 +207,179 @@ def load_reference_checkpoint(model, pth_path: str):
         if mask.any():
             shape_w, tex_w = shape_w[mask], tex_w[mask]
     return variables, shape_w.mean(0), tex_w.mean(0)
+
+# ---------------------------------------------------------------------------
+# Export: flax variables -> reference torch state_dicts / .pth checkpoints
+# (exact inverses of the importers above, emitting the reference's key set
+# including BatchNorm num_batches_tracked so
+# `reference_model.load_state_dict(sd, strict=True)` succeeds — the
+# reference's load_pretrained_model is a strict load,
+# /root/reference/src/trainer_unified_nuscenes.py:449-452).
+
+
+def _conv_back(k):
+    return np.ascontiguousarray(np.asarray(k).transpose(3, 2, 0, 1))
+
+
+def _lin_back(k):
+    return np.ascontiguousarray(np.asarray(k).T)
+
+
+def _export_dense(out, name: str, p):
+    out[f"{name}.weight"] = _lin_back(p["kernel"])
+    out[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _export_bn(out, name: str, p, bs):
+    out[f"{name}.weight"] = np.asarray(p["scale"])
+    out[f"{name}.bias"] = np.asarray(p["bias"])
+    out[f"{name}.running_mean"] = np.asarray(bs["mean"])
+    out[f"{name}.running_var"] = np.asarray(bs["var"])
+    out[f"{name}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def _export_basic_block(out, prefix: str, p, bs):
+    out[f"{prefix}.conv1.weight"] = _conv_back(p["Conv_0"]["kernel"])
+    _export_bn(out, f"{prefix}.bn1", p["BatchNorm_0"], bs["BatchNorm_0"])
+    out[f"{prefix}.conv2.weight"] = _conv_back(p["Conv_1"]["kernel"])
+    _export_bn(out, f"{prefix}.bn2", p["BatchNorm_1"], bs["BatchNorm_1"])
+    if "Conv_2" in p:
+        out[f"{prefix}.downsample.0.weight"] = _conv_back(p["Conv_2"]["kernel"])
+        _export_bn(out, f"{prefix}.downsample.1", p["BatchNorm_2"],
+                   bs["BatchNorm_2"])
+
+
+def _export_stage(out, torch_layer: str, params, stats):
+    for i in range(len(params)):
+        _export_basic_block(out, f"{torch_layer}.{i}",
+                            params[f"BasicBlock_{i}"], stats[f"BasicBlock_{i}"])
+
+
+def export_encoder(params, stats, heads=("shape", "texture", "pose"),
+                   pred_wlh: bool = False):
+    """flax ImgEncoder (params, batch_stats) subtrees -> reference state_dict
+    entries (prefix 'img_encoder.'). Inverse of import_encoder."""
+    pre = "img_encoder."
+    out = {pre + "conv1.weight": _conv_back(params["conv1"]["kernel"])}
+    _export_bn(out, pre + "bn1", params["bn1"], stats["bn1"])
+    for layer in ("layer1", "layer2", "layer3"):
+        _export_stage(out, pre + layer, params[layer], stats[layer])
+    for h in heads:
+        _export_stage(out, pre + f"layer4_{h}", params[f"layer4_{h}"],
+                      stats[f"layer4_{h}"])
+        _export_dense(out, pre + f"fc_{h}", params[f"fc_{h}"])
+    if "pose" in heads:
+        _export_dense(out, pre + "fc_uv", params["fc_uv"])
+    if pred_wlh:
+        _export_stage(out, pre + "layer4_wlh", params["layer4_wlh"],
+                      stats["layer4_wlh"])
+        _export_dense(out, pre + "fc_wlh.0", params["fc_wlh_hidden"])
+        _export_dense(out, pre + "fc_wlh.2", params["fc_wlh_out"])
+    return out
+
+
+def export_decoder(params, shape_blocks: int, texture_blocks: int):
+    """Inverse of import_decoder (reference CodeNeRF-style decoder names)."""
+    out = {}
+    _export_dense(out, "encoding_xyz.0", params["encoding_xyz"])
+    _export_dense(out, "encoding_shape", params["encoding_shape"])
+    _export_dense(out, "sigma.0", params["sigma"])
+    _export_dense(out, "encoding_viewdir.0", params["encoding_viewdir"])
+    _export_dense(out, "rgb.0", params["rgb_hidden"])
+    _export_dense(out, "rgb.2", params["rgb_out"])
+    for j in range(1, shape_blocks + 1):
+        _export_dense(out, f"shape_latent_layer_{j}.0",
+                      params[f"shape_latent_layer_{j}"])
+        _export_dense(out, f"shape_layer_{j}.0", params[f"shape_layer_{j}"])
+    for j in range(1, texture_blocks + 1):
+        _export_dense(out, f"texture_latent_layer_{j}.0",
+                      params[f"texture_latent_layer_{j}"])
+        _export_dense(out, f"texture_layer_{j}.0", params[f"texture_layer_{j}"])
+    return out
+
+
+def export_pose_refiner(params, pose_blocks: int, regress_blocks: int):
+    out = {}
+    _export_dense(out, "out_delta_layer", params["out_delta_layer"])
+    for j in range(pose_blocks):
+        _export_dense(out, f"pose_layer_{j}.0", params[f"pose_layer_{j}"])
+    for j in range(regress_blocks):
+        _export_dense(out, f"regress_layer_{j}.0", params[f"regress_layer_{j}"])
+    return out
+
+
+def export_autorf_original_decoder(params, shape_blocks: int,
+                                   texture_blocks: int):
+    """Inverse of import_autorf_original_decoder."""
+    out = {}
+    _export_dense(out, "encoding_xyz.0", params["encoding_xyz"])
+    _export_dense(out, "sigma.0", params["sigma"])
+    _export_dense(out, "rgb.0", params["rgb"])
+    for j in range(shape_blocks - 1):
+        _export_dense(out, f"shape_layer_{j}.0", params[f"shape_layer_{j}"])
+    for j in range(texture_blocks - 1):
+        _export_dense(out, f"texture_layer_{j}.0", params[f"texture_layer_{j}"])
+    return out
+
+
+def export_state_dict(model, variables) -> dict:
+    """flax variables -> reference torch state_dict (numpy values). Dispatches
+    by model type, mirroring load_reference_checkpoint."""
+    from supnerf_tpu.models.autorf import AutoRF, AutoRFMix
+    from supnerf_tpu.models.codenerf import CodeNeRF
+    from supnerf_tpu.models.supnerf import SUPNeRF
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    if isinstance(model, SUPNeRF):
+        sd = export_encoder(params["img_encoder"], stats["img_encoder"],
+                            pred_wlh=bool(model.pred_wlh))
+        sd.update(export_decoder(params["decoder"], model.shape_blocks,
+                                 model.texture_blocks))
+        sd.update(export_pose_refiner(params["pose_refiner"],
+                                      model.pose_blocks, model.regress_blocks))
+    elif isinstance(model, (AutoRF, AutoRFMix)):
+        sd = export_encoder(params["img_encoder"], stats["img_encoder"],
+                            heads=("shape", "texture"), pred_wlh=False)
+        if isinstance(model, AutoRF):
+            sd.update(export_autorf_original_decoder(
+                params["decoder"], model.shape_blocks, model.texture_blocks))
+        else:
+            sd.update(export_decoder(params["decoder"], model.shape_blocks,
+                                     model.texture_blocks))
+    elif isinstance(model, CodeNeRF):
+        sd = export_decoder(params["decoder"], model.shape_blocks,
+                            model.texture_blocks)
+    else:
+        raise TypeError(type(model))
+    return sd
+
+
+def save_reference_checkpoint(model, variables, shape_codes, texture_codes,
+                              path: str, *, niter: int = 0, nepoch: int = 0,
+                              instoken2idx: dict | None = None,
+                              optimized_idx=None):
+    """Write a reference-format training checkpoint (.pth) that the
+    reference's load_pretrained_model / resume_from_epoch consume directly
+    (/root/reference/src/trainer_unified_nuscenes.py:476-490). Inverse of
+    load_reference_checkpoint."""
+    import torch
+
+    sd = export_state_dict(model, variables)
+    n_ins = int(np.asarray(shape_codes).shape[0])
+    if optimized_idx is None:
+        optimized_idx = np.ones(n_ins, np.int64)
+    save_dict = {
+        "model_params": {k: torch.from_numpy(np.array(v, order="C"))
+                         for k, v in sd.items()},
+        "shape_code_params": {
+            "weight": torch.from_numpy(np.ascontiguousarray(shape_codes))},
+        "texture_code_params": {
+            "weight": torch.from_numpy(np.ascontiguousarray(texture_codes))},
+        "niter": int(niter),
+        "nepoch": int(nepoch),
+        "instoken2idx": dict(instoken2idx or {}),
+        "optimized_idx": torch.from_numpy(np.ascontiguousarray(optimized_idx)),
+    }
+    torch.save(save_dict, path)
+

@@ -68,3 +68,24 @@ def mean_codes_from_state(state) -> tuple:
     if opt.any():
         return sc[opt].mean(axis=0), tc[opt].mean(axis=0)
     return sc.mean(axis=0), tc.mean(axis=0)
+
+
+def export_reference_checkpoint(model, state, instoken2idx: dict, path: str,
+                                nepoch: int | None = None):
+    """Write this framework's TrainState as a reference-format .pth training
+    checkpoint (trainer_unified_nuscenes.py save_models :476-490), so
+    reference tooling can load_pretrained_model / resume_from_epoch models
+    trained here. Completes the interop loop that load_reference_checkpoint
+    opens in the other direction."""
+    from supnerf_tpu.models.torch_import import save_reference_checkpoint
+
+    save_reference_checkpoint(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        np.asarray(state.shape_codes), np.asarray(state.texture_codes),
+        path,
+        niter=int(np.asarray(state.niter)),
+        nepoch=int(nepoch if nepoch is not None else 0),
+        instoken2idx=instoken2idx,
+        optimized_idx=np.asarray(state.optimized_idx),
+    )

@@ -379,3 +379,72 @@ def test_ray_box_intersection_vs_reference():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(t_far)[imap], z_out, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_export_strict_loads_into_reference_supnerf():
+    """Export contract: state_dicts written by torch_import.export_state_dict
+    strict-load into the reference's OWN SUPNeRF module (model_supnerf.py:165
+    extracted with reconstructed torchvision primitives) — any missing/extra
+    key, shape mismatch, or layout transpose error raises — and the loaded
+    reference module reproduces this framework's decoder field and pose-delta
+    outputs. This is what makes models trained here usable from the reference
+    framework (trainer_unified_nuscenes.py load_pretrained_model :449-452 is
+    a strict load)."""
+    import math
+    from typing import Any, Callable, List, Optional, Type, Union
+
+    import torch.nn as nn
+
+    from supnerf_tpu.models import build_model, init_model_variables
+    from supnerf_tpu.models.supnerf import SUPNeRF as FlaxSUPNeRF
+    from supnerf_tpu.models.torch_import import export_state_dict
+
+    BasicBlock, conv1x1, conv3x3 = _torchvision_resnet_primitives()
+    ns = {"torch": torch, "nn": nn, "math": math, "Type": Type, "Any": Any,
+          "Callable": Callable, "Union": Union, "List": List,
+          "Optional": Optional, "BasicBlock": BasicBlock, "Bottleneck": None,
+          "conv1x1": conv1x1, "conv3x3": conv3x3}
+    _extract_reference_class("model_supnerf.py", "ImgEncoder", ns)
+    _extract_reference_function("model_supnerf.py", "PE", ns)
+    RefSUPNeRF = _extract_reference_class("model_supnerf.py", "SUPNeRF", ns)
+
+    hp = {"shape_blocks": 2, "texture_blocks": 1, "pose_blocks": 2,
+          "regress_blocks": 2, "latent_dim": 32, "pose_shortcut": 1,
+          "pred_wlh": 1}
+    model = build_model("supnerf", hp)
+    variables = init_model_variables(model, jax.random.PRNGKey(11))
+    sd = export_state_dict(model, variables)
+
+    ref = RefSUPNeRF(shape_blocks=2, texture_blocks=1, pose_blocks=2,
+                     regress_blocks=2, latent_dim=32, pose_shortcut=True,
+                     pred_wlh=True)
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True)
+    ref.train()
+
+    rng = np.random.default_rng(2)
+    R, S, latent = 6, 4, 32
+    xyz = rng.normal(size=(R, S, 3)).astype(np.float32) * 0.4
+    vd = rng.normal(size=(R, S, 3)).astype(np.float32)
+    sc = rng.normal(size=(1, latent)).astype(np.float32) * 0.3
+    tc = rng.normal(size=(1, latent)).astype(np.float32) * 0.3
+    im_feat = rng.normal(size=(2, latent)).astype(np.float32)
+    box_uv = rng.normal(size=(2, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        sig_t, rgb_t = ref(torch.from_numpy(xyz), torch.from_numpy(vd),
+                           torch.from_numpy(sc), torch.from_numpy(tc))
+        delta_t = ref.pose_update(torch.from_numpy(im_feat),
+                                  torch.from_numpy(box_uv)).numpy()
+
+    sig_j, rgb_j = model.apply({"params": variables["params"]},
+                               jnp.asarray(xyz), jnp.asarray(vd),
+                               jnp.asarray(sc[0]), jnp.asarray(tc[0]))
+    delta_j = model.apply({"params": variables["params"]},
+                          jnp.asarray(im_feat), jnp.asarray(box_uv),
+                          method=FlaxSUPNeRF.pose_update)
+
+    np.testing.assert_allclose(np.asarray(sig_j), sig_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(delta_j), delta_t, atol=1e-5)

@@ -267,3 +267,139 @@ def test_autorf_original_decoder_import_numerics(rng):
     sig_ref, rgb_ref = _np_reference_autorf_original(sd, xyz, vd, sf, tf)
     np.testing.assert_allclose(np.asarray(sig), sig_ref, atol=2e-5)
     np.testing.assert_allclose(np.asarray(rgb), rgb_ref, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Export (flax -> reference torch .pth): inverse-mapping and file round-trips.
+
+
+def _assert_tree_equal(a, b):
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    assert jax.tree.structure(a) == jax.tree.structure(b)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_export_import_round_trip_supnerf():
+    """export_state_dict is the exact inverse of import_supnerf_state_dict:
+    variables -> torch sd -> variables is the identity (layouts, head
+    mappings, BN param/stat split)."""
+    from supnerf_tpu.models.torch_import import export_state_dict
+
+    model = build_model("supnerf", HP)
+    variables = init_model_variables(model, jax.random.PRNGKey(3))
+    sd = export_state_dict(model, variables)
+    back = import_supnerf_state_dict(model, sd)
+    _assert_tree_equal(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        back)
+    # the reference BN state_dict surface is complete (strict-load needs
+    # num_batches_tracked for every BatchNorm)
+    n_bn_scales = sum(1 for k in sd if k.endswith("running_mean"))
+    n_tracked = sum(1 for k in sd if k.endswith("num_batches_tracked"))
+    assert n_bn_scales == n_tracked > 0
+
+
+@pytest.mark.parametrize("arch", ["autorfmix", "codenerf"])
+def test_export_import_round_trip_other_archs(arch):
+    from supnerf_tpu.models.torch_import import (
+        export_state_dict,
+        import_autorf_state_dict,
+        import_codenerf_state_dict,
+    )
+
+    hp = {"shape_blocks": 2, "texture_blocks": 1, "latent_dim": 32}
+    model = build_model(arch, hp)
+    variables = init_model_variables(model, jax.random.PRNGKey(4))
+    sd = export_state_dict(model, variables)
+    if arch == "codenerf":
+        back = import_codenerf_state_dict(model, sd)
+        _assert_tree_equal(variables["params"], back["params"])
+    else:
+        back = import_autorf_state_dict(model, sd)
+        _assert_tree_equal(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, back)
+
+
+def test_export_import_round_trip_autorf_original():
+    from supnerf_tpu.models.autorf import AutoRF
+    from supnerf_tpu.models.torch_import import (
+        export_state_dict,
+        import_autorf_state_dict,
+    )
+
+    model = AutoRF(shape_blocks=2, texture_blocks=2, latent_dim=32)
+    variables = init_model_variables(model, jax.random.PRNGKey(5))
+    sd = export_state_dict(model, variables)
+    back = import_autorf_state_dict(model, sd)
+    _assert_tree_equal(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        back)
+
+
+def test_reference_checkpoint_file_round_trip(tmp_path):
+    """save_reference_checkpoint writes a .pth that load_reference_checkpoint
+    reads back to identical variables, and the mean codes honor the
+    optimized_idx mask (reference load_pretrained_model :449-463)."""
+    from supnerf_tpu.models.torch_import import (
+        load_reference_checkpoint,
+        save_reference_checkpoint,
+    )
+
+    model = build_model("supnerf", HP)
+    variables = init_model_variables(model, jax.random.PRNGKey(6))
+    rng = np.random.default_rng(0)
+    shape_codes = rng.normal(size=(4, HP["latent_dim"])).astype(np.float32)
+    tex_codes = rng.normal(size=(4, HP["latent_dim"])).astype(np.float32)
+    optimized = np.array([1, 0, 2, 0], np.int64)
+    path = str(tmp_path / "models.pth")
+    save_reference_checkpoint(
+        model, variables, shape_codes, tex_codes, path, niter=7, nepoch=3,
+        instoken2idx={"tok_a": 0, "tok_b": 1}, optimized_idx=optimized)
+
+    back_vars, mean_shape, mean_tex = load_reference_checkpoint(model, path)
+    _assert_tree_equal(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        back_vars)
+    np.testing.assert_allclose(mean_shape, shape_codes[[0, 2]].mean(0), rtol=1e-6)
+    np.testing.assert_allclose(mean_tex, tex_codes[[0, 2]].mean(0), rtol=1e-6)
+
+    import torch
+
+    saved = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(saved.keys()) == {
+        "model_params", "shape_code_params", "texture_code_params",
+        "niter", "nepoch", "instoken2idx", "optimized_idx"}
+    assert saved["niter"] == 7 and saved["nepoch"] == 3
+    assert saved["instoken2idx"] == {"tok_a": 0, "tok_b": 1}
+
+
+def test_export_torch_cli(tmp_path):
+    """The export CLI converts a trainer save dir (orbax + hpam.json) into a
+    reference-format models.pth."""
+    import json
+
+    from supnerf_tpu.cli.export_torch import main as export_main
+    from supnerf_tpu.models.torch_import import load_reference_checkpoint
+    from supnerf_tpu.training.checkpoints import save_checkpoint
+    from supnerf_tpu.training.train_step import TrainConfig, init_train_state
+
+    model = build_model("supnerf", HP)
+    state = init_train_state(model, jax.random.PRNGKey(7), n_instances=2,
+                             cfg=TrainConfig(latent_dim=HP["latent_dim"]),
+                             img_size=64)
+    save_dir = str(tmp_path / "ckpt")
+    save_checkpoint(save_dir, jax.tree.map(np.asarray, state), nepoch=0,
+                    instoken2idx={"a": 0, "b": 1})
+    with open(f"{save_dir}/hpam.json", "w") as f:
+        json.dump({"arch": "supnerf", "net_hyperparams": HP,
+                   "in_img_sz": 64}, f)
+
+    out = str(tmp_path / "exported.pth")
+    assert export_main([save_dir, out]) == 0
+    back_vars, _, _ = load_reference_checkpoint(model, out)
+    np.testing.assert_array_equal(
+        np.asarray(back_vars["params"]["decoder"]["sigma"]["kernel"]),
+        np.asarray(state.params["decoder"]["sigma"]["kernel"]))
