@@ -68,7 +68,10 @@ def resize_bilinear_np(img: np.ndarray, out_hw) -> np.ndarray:
 def resize_bilinear_jnp(img, out_hw):
     """In-jit bilinear resize with half-pixel centers for (H, W, C) arrays."""
     h, w = int(out_hw[0]), int(out_hw[1])
-    return jax.image.resize(img, (h, w) + img.shape[2:], method="linear")
+    # antialias=False: cv2 INTER_LINEAR / torchvision-0.13 tensor Resize do
+    # plain bilinear without the antialiasing prefilter on downscale.
+    return jax.image.resize(img, (h, w) + img.shape[2:], method="linear",
+                            antialias=False)
 
 
 def preprocess_img_square(img: np.ndarray, new_size: int = 128, pad_white: bool = True) -> np.ndarray:

@@ -135,13 +135,12 @@ def _field_chain_to_heads(n_shape: int, n_tex: int, dtype, xpe, dpe,
     # operands are cast to the compute dtype at each matmul.
     act = f32
 
-    def mm(x, w, out=None):
-        y = jax.lax.dot_general(
+    def mm(x, w):
+        return jax.lax.dot_general(
             x.astype(dtype), w.astype(dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
-        return y if out is f32 else y.astype(act)
 
     def cast(x):
         return x.astype(act)
@@ -151,7 +150,7 @@ def _field_chain_to_heads(n_shape: int, n_tex: int, dtype, xpe, dpe,
         y = y + cast(zs_ref[j][None, :])
         y = jnp.maximum(mm(y, wsh_ref[j]) + cast(bsh_ref[j][None, :]), 0)
     y = mm(y, wes_ref[:]) + cast(bes_ref[:])
-    sigma = jax.nn.softplus(mm(y, wsg_ref[:], out=f32) + bsg_ref[:])
+    sigma = jax.nn.softplus(mm(y, wsg_ref[:]) + bsg_ref[:])
     dterm = mm(dpe, wvd_b_ref[:]) if dir_term is None else cast(dir_term)
     h = mm(y, wvd_a_ref[:]) + dterm + cast(bvd_ref[:])
     h = jnp.maximum(h, 0)

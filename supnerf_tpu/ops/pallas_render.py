@@ -64,9 +64,7 @@ from supnerf_tpu.ops.pallas_field import (
     conditioned_latents,
     flatten_weights,
 )
-
-_EPS_TRANS = 1e-10
-_LAST_DELTA = 1e10
+from supnerf_tpu.ops.volume_render import _EPS_TRANS, _LAST_DELTA
 
 
 def _split_pe_chain_to_heads(n_shape: int, n_tex: int, dtype,

@@ -49,7 +49,9 @@ def composite_weights(sigmas, z_vals):
     )
     deltas = jnp.broadcast_to(deltas, sigmas.shape)
     alphas = 1.0 - jnp.exp(-jnp.maximum(sigmas, 0.0) * deltas)
-    trans = 1.0 - alphas + _EPS_TRANS
+    # maximum() blocks XLA from reassociating to (1+eps)-alphas, which would
+    # constant-fold the 1e-10 floor away (same guard as ops/pallas_render.py).
+    trans = jnp.maximum(1.0 - alphas, 0.0) + _EPS_TRANS
     # T_i = prod_{j<i} trans_j  (exclusive cumprod), T_0 = 1
     accum_trans_incl = jnp.cumprod(trans, axis=-1)  # T after including sample i
     accum_trans = jnp.concatenate(

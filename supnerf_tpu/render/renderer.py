@@ -28,6 +28,7 @@ from supnerf_tpu.geometry.rays import (
     sample_from_rays,
     sample_z_stratified,
 )
+from supnerf_tpu.geometry.roi import resize_bilinear_jnp
 from supnerf_tpu.ops.volume_render import volume_render
 
 # nuScenes object frame -> ShapeNet frame: new_x = -old_y, new_y = old_x
@@ -248,7 +249,6 @@ def prepare_render_target(img_crop, mask_crop, im_sz: int):
 
     img_crop (h, w, 3), mask_crop (h, w, 1) -> (rgb_tgt (im_sz^2, 3),
     occ_pixels (im_sz^2, 1))."""
-    img_r = jax.image.resize(img_crop, (im_sz, im_sz, 3), method="linear")
-    mask_r = jax.image.resize(mask_crop, (im_sz, im_sz, 1), method="linear")
-    mask_r = jnp.trunc(mask_r)
+    img_r = resize_bilinear_jnp(img_crop, (im_sz, im_sz))
+    mask_r = jnp.trunc(resize_bilinear_jnp(mask_crop, (im_sz, im_sz)))
     return img_r.reshape(-1, 3), mask_r.reshape(-1, 1)
