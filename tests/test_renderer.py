@@ -78,6 +78,21 @@ def test_prepare_render_target_mask_semantics():
     assert set(np.unique(np.asarray(occ_t))).issubset({-1.0, 0.0, 1.0})
 
 
+def test_prepare_render_target_matches_cv2_bilinear():
+    """The render target resize must match cv2 INTER_LINEAR (the production
+    data path builds crops via cv2; the reference's pinned torchvision 0.13
+    tensor Resize is the same plain bilinear — no antialias prefilter)."""
+    import cv2
+
+    rs = np.random.RandomState(0)
+    crop = rs.rand(57, 83, 3).astype(np.float32)
+    rgb_t, _ = rnd.prepare_render_target(
+        jnp.asarray(crop), jnp.ones((57, 83, 1), jnp.float32), 64)
+    ref = cv2.resize(crop, (64, 64), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(np.asarray(rgb_t), ref.reshape(-1, 3),
+                               rtol=0, atol=2e-6)
+
+
 def test_scene_compositor_occlusion():
     """Two spheres on the same camera ray: the nearer one must occlude."""
     # object A at z=20 (red), object B at z=30 (green), same (x, y)
