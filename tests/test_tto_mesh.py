@@ -16,3 +16,24 @@ def test_tto_driver_sharded_over_mesh(tmp_path):
     assert res["psnr"].shape[0] == 8
     assert np.isfinite(np.asarray(res["psnr"])).all()
     assert len(drv.psnr_eval) == 8
+
+
+def test_tto_mesh_sharding_matches_single_device(tmp_path):
+    """Object-axis SPMD must not change the math: TTO is per-object
+    independent (no cross-object reductions), so an 8-device mesh run and a
+    single-device run over the same batch agree up to XLA fusion-order
+    rounding. This is the numerical-equivalence guarantee behind replacing
+    the reference's --num_subset process sharding with mesh sharding."""
+    ds = SynthDataset(8)
+    drv1 = _driver(tmp_path / "d1", ds, n_devices=1)
+    drv8 = _driver(tmp_path / "d8", ds, n_devices=8)
+    drv1.batch_size = drv8.batch_size = 8
+    res1 = drv1.optimize_object_batch(list(range(8)))
+    res8 = drv8.optimize_object_batch(list(range(8)))
+    np.testing.assert_allclose(np.asarray(res8["psnr"]),
+                               np.asarray(res1["psnr"]), rtol=0, atol=2e-3)
+    for ann in drv1.optimized_poses:
+        np.testing.assert_allclose(
+            np.asarray(drv8.optimized_poses[ann]["CAM_FRONT"]),
+            np.asarray(drv1.optimized_poses[ann]["CAM_FRONT"]),
+            rtol=0, atol=1e-4)
