@@ -182,14 +182,20 @@ def pose_regress_step(model, variables, posecode, src_pose, tgt_uv, wlh, roi, K)
     return loss, pred_pose
 
 
-def _apply_field(model, cfg: TrainConfig, variables, xyz, viewdir,
-                 shapecodes, texturecodes, mesh=None):
-    """The NeRF branch's field evaluation — the step's FLOP bulk
-    (B x 1024 rays x 64 samples). cfg.field_impl='pallas' routes it through
-    the fused fwd+bwd train kernels (ops/pallas_field.field_train_pallas):
-    per-object latent blocks indexed by tile, decoder weight gradients
-    accumulated in VMEM across the sequential grid — no HBM activation stash
-    and no XLA rematerialization of the 9-layer chain.
+def _apply_render(model, cfg: TrainConfig, variables, batch: "TrainBatch",
+                  shapecodes, texturecodes, mesh=None):
+    """The NeRF branch — field evaluation AND volume compositing, the step's
+    FLOP bulk (B x 1024 rays x 64 samples). Returns (rgb_rays (B, R, 3),
+    depth (B, R), acc_trans (B, R)).
+
+    cfg.field_impl='pallas' runs the WHOLE branch on the fused train render
+    kernels (ops/pallas_render.field_composite_train_pallas): per-object
+    latent blocks indexed by tile, compositing computed in-VMEM on both
+    passes (the per-point (sigma, rgb)/(dsig, drgb) pallas<->XLA boundary
+    cost ~35 ms/step at batch 48 — VALIDATION.md round-3 decomposition), and
+    decoder weight gradients accumulated in VMEM across the sequential grid —
+    no HBM activation stash and no XLA rematerialization of the 9-layer
+    chain.
 
     With a mesh, the kernel runs under shard_map over the data axis: XLA's
     SPMD partitioner cannot split a custom call, so without this it
@@ -198,16 +204,14 @@ def _apply_field(model, cfg: TrainConfig, variables, xyz, viewdir,
     batch shard; the cotangent of the replicated weights is psum'd by the
     shard_map transpose — exactly the DP gradient all-reduce."""
     if cfg.field_impl == "pallas":
-        from supnerf_tpu.ops.pallas_field import (
-            field_train_pallas,
-            resolve_decoder_kernel_config,
-        )
+        from supnerf_tpu.ops.pallas_field import resolve_decoder_kernel_config
+        from supnerf_tpu.ops.pallas_render import field_composite_train_pallas
 
         packed, kern_kw = resolve_decoder_kernel_config(model, variables)
 
-        def run(packed_r, xyz_l, vd_l, sc_l, tc_l):
-            return field_train_pallas(packed_r, xyz_l, vd_l, sc_l, tc_l,
-                                      **kern_kw)
+        def run(packed_r, xyz_l, vd_l, z_l, sc_l, tc_l):
+            return field_composite_train_pallas(packed_r, xyz_l, vd_l, z_l,
+                                                sc_l, tc_l, **kern_kw)
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -217,14 +221,17 @@ def _apply_field(model, cfg: TrainConfig, variables, xyz, viewdir,
             dp = P(DATA_AXIS)
             return jax.shard_map(
                 run, mesh=mesh,
-                in_specs=(P(), dp, dp, dp, dp),
-                out_specs=(dp, dp),
+                in_specs=(P(), dp, dp, dp, dp, dp),
+                out_specs=(dp, dp, dp),
                 check_vma=False,
-            )(packed, xyz, viewdir, shapecodes, texturecodes)
-        return run(packed, xyz, viewdir, shapecodes, texturecodes)
-    return model.apply(variables, xyz, viewdir,
-                       shapecodes[:, None, None, :],
-                       texturecodes[:, None, None, :])
+            )(packed, batch.xyz, batch.viewdir, batch.z_vals,
+              shapecodes, texturecodes)
+        return run(packed, batch.xyz, batch.viewdir, batch.z_vals,
+                   shapecodes, texturecodes)
+    sigmas, rgbs = model.apply(variables, batch.xyz, batch.viewdir,
+                               shapecodes[:, None, None, :],
+                               texturecodes[:, None, None, :])
+    return volume_render(sigmas, rgbs, batch.z_vals[:, None, :])
 
 
 def unified_loss(model, params, batch_stats, codes, batch: TrainBatch,
@@ -282,12 +289,8 @@ def unified_loss(model, params, batch_stats, codes, batch: TrainBatch,
     loss_total += jnp.where(enc_active, cfg.loss_pose_coef * pose_loss, 0.0)
 
     # NeRF branch (reference :120-146)
-    sigmas, rgbs = _apply_field(model, cfg, variables, batch.xyz,
-                                batch.viewdir, shapecode, texturecode,
-                                mesh=mesh)
-    rgb_rays, depth_rays, acc_trans = volume_render(
-        sigmas, rgbs, batch.z_vals[:, None, :]
-    )
+    rgb_rays, depth_rays, acc_trans = _apply_render(
+        model, cfg, variables, batch, shapecode, texturecode, mesh=mesh)
     loss_rgb = rgb_loss_masked(rgb_rays, batch.rgb_tgt, batch.occ_pixels, axis=(-2, -1))
     losses["loss_rgb"] = jnp.mean(loss_rgb)
     losses["psnr"] = -10.0 * jnp.log(jnp.mean(loss_rgb)) / jnp.log(10.0)
@@ -337,10 +340,8 @@ def nerf_only_loss(model, params, batch_stats, codes, batch: TrainBatch,
         losses["loss_code"] = jnp.float32(0.0)
         new_bs = batch_stats
 
-    sigmas, rgbs = _apply_field(model, cfg, variables, batch.xyz,
-                                batch.viewdir, shapecode, texturecode,
-                                mesh=mesh)
-    rgb_rays, _, acc_trans = volume_render(sigmas, rgbs, batch.z_vals[:, None, :])
+    rgb_rays, _, acc_trans = _apply_render(
+        model, cfg, variables, batch, shapecode, texturecode, mesh=mesh)
     loss_rgb = rgb_loss_masked(rgb_rays, batch.rgb_tgt, batch.occ_pixels, axis=(-2, -1))
     loss_occ = occupancy_loss(acc_trans, batch.occ_pixels, axis=(-2, -1))
     losses["loss_rgb"] = jnp.mean(loss_rgb)
