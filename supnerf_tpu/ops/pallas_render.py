@@ -974,16 +974,18 @@ def make_composite_aabb_grad_fn(packed: dict, kern_kw: dict, shapecode,
 # --------------------------------------------------------------------------
 #
 # The train step previously ran the fused field kernels (pallas_field.
-# field_train_pallas) with the compositing in XLA. Measured on v5e at the
-# published batch-48 shape, crossing the pallas<->XLA boundary with per-point
-# (sigma, rgb) / (dsig, drgb) costs ~35 ms/step on top of the ~121 ms
-# field-only fwd+bwd — 10x what the compositing math costs in isolation
-# (VALIDATION.md round-3 train decomposition) — so the train path gets the
-# same treatment the TTO loss render got: one forward kernel emitting per-RAY
-# (rgb, depth, acc) and one backward kernel that replays field+compositing
-# in-VMEM, applies the manual compositing VJP, and ALSO accumulates all
-# decoder weight/bias gradients across the sequential grid (the
-# _field_train_bwd_kernel pattern).
+# field_train_pallas) with the compositing in XLA, crossing the pallas<->XLA
+# boundary with per-point (sigma, rgb) / (dsig, drgb) tensors. The train
+# path gets the same treatment the TTO loss render got: one forward kernel
+# emitting per-RAY (rgb, depth, acc) and one backward kernel that replays
+# field+compositing in-VMEM, applies the manual compositing VJP, and ALSO
+# accumulates all decoder weight/bias gradients across the sequential grid
+# (the _field_train_bwd_kernel pattern). Measured on v5e at the published
+# batch-48 shape (VALIDATION.md round 3): the fusion itself cut the step
+# 161.6 -> 151.9 ms, and — the larger effect — dropping the per-point
+# output blocks freed enough VMEM that tile_bwd=1024 compiles (the field
+# kernel's sweep had it OOM), taking the isolated render fwd+bwd from
+# 121.7 to 108.5 ms (scripts/sweep_train_render_tiles.py).
 
 
 def _render_train_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,

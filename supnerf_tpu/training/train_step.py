@@ -191,11 +191,15 @@ def _apply_render(model, cfg: TrainConfig, variables, batch: "TrainBatch",
     cfg.field_impl='pallas' runs the WHOLE branch on the fused train render
     kernels (ops/pallas_render.field_composite_train_pallas): per-object
     latent blocks indexed by tile, compositing computed in-VMEM on both
-    passes (the per-point (sigma, rgb)/(dsig, drgb) pallas<->XLA boundary
-    cost ~35 ms/step at batch 48 — VALIDATION.md round-3 decomposition), and
-    decoder weight gradients accumulated in VMEM across the sequential grid —
-    no HBM activation stash and no XLA rematerialization of the 9-layer
-    chain.
+    passes, and decoder weight gradients accumulated in VMEM across the
+    sequential grid — no HBM activation stash and no XLA rematerialization
+    of the 9-layer chain. Measured at the published batch-48 shape on v5e:
+    fusing compositing (and dropping the per-point (sigma, rgb)/(dsig, drgb)
+    boundary) cut the step 161.6 -> 151.9 ms at the old tile_bwd=512, and
+    freeing the per-point output blocks made tile_bwd=1024 VMEM-feasible
+    (108.5 ms isolated render fwd+bwd vs 121.7 at 512 —
+    scripts/sweep_train_render_tiles.py), so the train path overrides the
+    shared tile_bwd default below.
 
     With a mesh, the kernel runs under shard_map over the data axis: XLA's
     SPMD partitioner cannot split a custom call, so without this it
@@ -208,6 +212,12 @@ def _apply_render(model, cfg: TrainConfig, variables, batch: "TrainBatch",
         from supnerf_tpu.ops.pallas_render import field_composite_train_pallas
 
         packed, kern_kw = resolve_decoder_kernel_config(model, variables)
+        if not kern_kw["interpret"]:
+            # render-bwd VMEM fit differs from the field-bwd kernel the
+            # shared default was swept for: per-ray (128-lane) output blocks
+            # replace the per-point dsig/drgb ones, and tile_bwd=1024 both
+            # compiles and wins 12% (sweep table in VALIDATION.md round 3)
+            kern_kw = {**kern_kw, "tile_bwd": 1024}
 
         def run(packed_r, xyz_l, vd_l, z_l, sc_l, tc_l):
             return field_composite_train_pallas(packed_r, xyz_l, vd_l, z_l,
