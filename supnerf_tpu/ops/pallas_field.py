@@ -624,7 +624,14 @@ def resolve_decoder_kernel_config(model, variables):
         num_xyz_freq=getattr(model, "num_xyz_freq", 10),
         num_dir_freq=getattr(model, "num_dir_freq", 4),
         dtype=jnp.float32 if interp else jnp.bfloat16,
-        tile_fwd=128 if interp else 1024,
+        # fwd kernels (per-point field and per-ray render alike) are
+        # VMEM-light; 2048 measured equal-or-better than 1024 on every
+        # swept path (train render, TTO loop, bench_render) — see the
+        # round-3 sweep tables in VALIDATION.md
+        tile_fwd=128 if interp else 2048,
+        # bwd default is the FIELD-kernel optimum (weight-grad accumulators
+        # resident; 1024 OOMs). The render-backward call sites override to
+        # 1024 where the sweep shows it fits and wins (train_step, tto/core)
         tile_bwd=128 if interp else 512,
         interpret=interp)
     return packed, kwargs

@@ -321,16 +321,24 @@ def run_tto_batch(model, variables, batch: ObjectBatch, mean_shape, mean_texture
             # renders inside the loop (the per-iteration lidar depth metric)
             return make_composite_fn(packed, kern_kw, sc, tc)
 
+        # the render backward has no weight-grad accumulators, so unlike the
+        # field backward it fits (and wins 5-6% on the full TTO loop) at
+        # tile_bwd=1024 — scripts/sweep_tto_tiles.py, VALIDATION.md round 3
+        render_bwd_kw = (
+            {} if kern_kw["interpret"] else {"tile_bwd": 1024})
+
         def make_composite_grad(sc, tc):
             # DIFFERENTIABLE fused render for the loss render: forward and
             # backward each run as one kernel (in-VMEM compositing VJP), so
             # no per-point tensor touches HBM in the hot loop
-            return make_composite_grad_fn(packed, kern_kw, sc, tc)
+            return make_composite_grad_fn(packed, kern_kw, sc, tc,
+                                          **render_bwd_kw)
 
         def make_composite_aabb_grad(sc, tc):
             # per-ray-z variant for the AABB-bounded loss render (demo
             # protocol, reference render_rays_v3)
-            return make_composite_aabb_grad_fn(packed, kern_kw, sc, tc)
+            return make_composite_aabb_grad_fn(packed, kern_kw, sc, tc,
+                                               **render_bwd_kw)
     else:
         def make_field(sc, tc):
             return lambda xyz, vd: model.apply(variables, xyz, vd, sc, tc)
