@@ -1,9 +1,11 @@
 """Decompose the published-config train step's wall time on the real TPU.
 
-The fused field fwd+bwd is measured at ~125 ms/step at batch 48
-(scripts/sweep_train_tiles.py) while the full step runs ~159 ms
-(bench.py train): this script attributes the remaining ~34 ms across the
-encoder+pose branch and the optimizer update.
+Post-fusion numbers (VALIDATION.md round 3): the fused render fwd+bwd is
+108.5 ms/step at batch 48 (scripts/sweep_train_render_tiles.py,
+tile_bwd=1024) and the full step ~140-145 ms (bench.py train,
+6.9-7.1 steps/s); this script attributes the remainder — measured
+enc_pose 10.6 ms, AdamW-on-49M 7.7 ms, residual (XLA-side PE, gout
+packing, losses) ~9 ms.
 
 Variants (each a jitted fori_loop over N_ITERS with a loop-carried
 dependency so XLA cannot hoist the work):

@@ -448,3 +448,76 @@ def test_export_strict_loads_into_reference_supnerf():
     np.testing.assert_allclose(np.asarray(sig_j), sig_t.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(delta_j), delta_t, atol=1e-5)
+
+
+# --------------------------------------------------------------- AutoRF -----
+def test_autorf_vs_reference_torch_module():
+    """Identical weights -> identical (shape_feat, texture_feat) codes AND
+    identical (sigma, rgb) field outputs between the reference's OWN AutoRF
+    (model_autorf.py:10-186: two-head ResNet encoder + original
+    feature-averaging decoder, extracted with reconstructed torchvision
+    primitives) and the flax AutoRF loaded through
+    torch_import.import_autorf_state_dict — BatchNorm on batch statistics.
+
+    Exercises the baseline-family checkpoint-import contract: the
+    layer4_shape/layer4_texture/fc_* encoder mapping shared with AutoRFMix,
+    and the averaging-decoder layer set ((feat+pos)/2 chains, the 3-way
+    average, the two viewdir concats, Softplus sigma / Sigmoid rgb)."""
+    import math
+    from typing import Any, Callable, List, Optional, Type, Union
+
+    import torch.nn as nn
+
+    from supnerf_tpu.models.autorf import AutoRF as FlaxAutoRF
+    from supnerf_tpu.models.torch_import import import_autorf_state_dict
+
+    BasicBlock, conv1x1, conv3x3 = _torchvision_resnet_primitives()
+    ns = {"torch": torch, "nn": nn, "math": math, "Type": Type, "Any": Any,
+          "Callable": Callable, "Union": Union, "List": List,
+          "Optional": Optional, "BasicBlock": BasicBlock, "Bottleneck": None,
+          "conv1x1": conv1x1, "conv3x3": conv3x3}
+    RefImgEncoder = _extract_reference_class("model_autorf.py", "ImgEncoder",
+                                             ns)
+    ns["ImgEncoder"] = RefImgEncoder
+    ns["PE"] = _extract_reference_function("model_autorf.py", "PE", ns)
+    RefAutoRF = _extract_reference_class("model_autorf.py", "AutoRF", ns)
+
+    latent, sb, tb = 128, 5, 5
+    torch.manual_seed(0)
+    ref = RefAutoRF(shape_blocks=sb, texture_blocks=tb, latent_dim=latent)
+    ref.train()  # batch-stats BN (the reference never calls .eval())
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 3, 128, 128)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        shape_t, tex_t = ref.encode_img(torch.from_numpy(img))
+
+    # decoder input layout per the reference forward (model_autorf.py:160-
+    # 163): xyz rows are [obj0 pixels..., obj1 pixels...] and the per-object
+    # codes are repeated across each object's pixel rows
+    B, N = 2, 12
+    xyz = rng.normal(size=(B * N, 1, 3)).astype(np.float32) * 0.4
+    vd = rng.normal(size=(B * N, 1, 3)).astype(np.float32)
+    with torch.no_grad():
+        sig_t, rgb_t = ref(torch.from_numpy(xyz), torch.from_numpy(vd),
+                           shape_t, tex_t)
+
+    flax_model = FlaxAutoRF(shape_blocks=sb, texture_blocks=tb,
+                            latent_dim=latent)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = import_autorf_state_dict(flax_model, sd)
+
+    (shape_j, tex_j), _ = flax_model.apply(
+        variables, jnp.asarray(img.transpose(0, 2, 3, 1)), True,
+        method=FlaxAutoRF.encode_img, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(shape_j), shape_t.numpy(),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(tex_j), tex_t.numpy(), atol=2e-3)
+
+    sf = np.repeat(shape_t.numpy(), N, axis=0)[:, None, :]  # (B*N, 1, latent)
+    tf = np.repeat(tex_t.numpy(), N, axis=0)[:, None, :]
+    sig_j, rgb_j = flax_model.apply(
+        {"params": variables["params"]}, jnp.asarray(xyz), jnp.asarray(vd),
+        jnp.asarray(sf), jnp.asarray(tf))
+    np.testing.assert_allclose(np.asarray(sig_j), sig_t.numpy(), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.numpy(), atol=2e-3)
