@@ -1270,11 +1270,13 @@ def _make_render_train_core(n_samples: int, shape_blocks: int,
     ALL cotangents are real — including the decoder weight tuple."""
 
     def encode(xyz, vd):
-        # classic sin/cos PE, NOT the doubling recurrence: in the train
-        # step's outer grad graph the recurrence's chained (m, 3) temps are
-        # materialized as separate while-body buffers padded 42.7x by the
-        # (8, 128) tile — an HBM OOM at the published batch
-        # (pallas_field.field_train_pallas has the measured post-mortem)
+        # classic sin/cos PE, NOT the doubling recurrence. Re-tested round 3
+        # with encode inside this custom_vjp (no autodiff residuals): the
+        # recurrence's chained bf16 (m, 3) temps STILL materialize as
+        # separate 42.7x-padded HLO temps (768 MB each at batch 48 — XLA
+        # does not fuse the chain at this size) and OOM HBM, so the
+        # field_train_pallas post-mortem's conclusion holds on the train
+        # shapes regardless of the grad-graph boundary
         return (positional_encoding(xyz.reshape(-1, 3),
                                     num_xyz_freq).astype(dtype),
                 positional_encoding(vd.reshape(-1, 3),
