@@ -990,24 +990,36 @@ def make_composite_aabb_grad_fn(packed: dict, kern_kw: dict, shapecode,
 
 def _render_train_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
                              dtype, white_bkgd: bool, l_xyz: int, l_dir: int,
-                             tiles_per_obj: int, *refs):
+                             tiles_per_obj: int, data_grads: bool, *refs):
     """Training backward of the fused render: _render_bwd_kernel's per-ray-z
     compositing VJP (see its docstring for the cotangent algebra) merged with
     _field_train_bwd_kernel's weight-gradient accumulation. Emits gradients
-    for the raw points, per-ray view directions, per-object conditioned
-    latents (accumulated across each object's tiles), per-ray z partials, and
-    ALL decoder weights/biases (accumulated across the whole grid)."""
+    for the per-object conditioned latents (accumulated across each object's
+    tiles) and ALL decoder weights/biases (accumulated across the whole
+    grid); with data_grads also for the raw points, per-ray view directions,
+    and per-ray z partials. Training batches are DATA — their cotangents are
+    dead in the outer graph, but XLA cannot DCE individual outputs of an
+    opaque custom call, and the (m, 3) dxyz output alone costs ~1.5 GB of
+    42.7x-padded HBM writes per step at batch 48 — so the train step runs
+    with data_grads=False."""
+    n_in = 28
     (xpe_ref, dpe_ref, fxt_ref, fdt_ref, zs_ref, zt_ref,
      wxyz_ref, bxyz_ref, wsh_ref, bsh_ref,
      wes_ref, bes_ref, wsg_ref, bsg_ref,
      wvd_a_ref, wvd_b_ref, bvd_ref,
      wtx_ref, btx_ref, wr1_ref, br1_ref, wr2_ref, br2_ref,
-     z_row_ref, delta_ref, u_ref, seg_mask_ref, gout_ref,
-     dxyz_ref, dvd_ref, dzs_ref, dzt_ref, ddelta_ref, dzdir_ref,
-     dwxyz_ref, dbxyz_ref, dwsh_ref, dbsh_ref,
+     z_row_ref, delta_ref, u_ref, seg_mask_ref, gout_ref) = refs[:n_in]
+    outs = refs[n_in:]
+    if data_grads:
+        (dxyz_ref, dvd_ref, dzs_ref, dzt_ref, ddelta_ref, dzdir_ref,
+         *wrefs) = outs
+    else:
+        dxyz_ref = dvd_ref = ddelta_ref = dzdir_ref = None
+        (dzs_ref, dzt_ref, *wrefs) = outs
+    (dwxyz_ref, dbxyz_ref, dwsh_ref, dbsh_ref,
      dwes_ref, dbes_ref, dwsg_ref, dbsg_ref,
      dwvd_a_ref, dwvd_b_ref, dbvd_ref,
-     dwtx_ref, dbtx_ref, dwr1_ref, dbr1_ref, dwr2_ref, dbr2_ref) = refs
+     dwtx_ref, dbtx_ref, dwr1_ref, dbr1_ref, dwr2_ref, dbr2_ref) = wrefs
     f32 = jnp.float32
     i = pl.program_id(0)
 
@@ -1105,9 +1117,10 @@ def _render_train_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
     de = g_t - gw * t_excl
     e_val = 1.0 - alpha
     dsig_m = jnp.where(sig_m > 0, de * (-delta) * e_val, 0.0)
-    dd_full = de * (-jnp.maximum(sig_m, 0.0)) * e_val * not_last
-    ddelta_ref[:] = dd_full                                  # (TILE_R, S)
-    dzdir_ref[:] = g_depth * w
+    if data_grads:
+        dd_full = de * (-jnp.maximum(sig_m, 0.0)) * e_val * not_last
+        ddelta_ref[:] = dd_full                              # (TILE_R, S)
+        dzdir_ref[:] = g_depth * w
 
     dsig_pts = dsig_m.reshape(tile_r * S, 1)
     drgb_pts = w.reshape(tile_r * S, 1) * g_rgb_pts          # (m, 3)
@@ -1146,8 +1159,9 @@ def _render_train_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
     # per-point dir input is seg_expand(dpe), so dW_vd_b = dpe^T @ seg_sum(g_v)
     acc(dwvd_b_ref, mm_xg(dpe, seg_reduce(g_v)), first)
     acc(dbvd_ref, jnp.sum(g_v, axis=0)[None], first)
-    dvd_ref[:] = _pe_bwd_from_streamed(
-        dpe, seg_reduce(mm_t(g_v, wvd_b_ref[:])), l_dir, fdt_ref, mm)
+    if data_grads:
+        dvd_ref[:] = _pe_bwd_from_streamed(
+            dpe, seg_reduce(mm_t(g_v, wvd_b_ref[:])), l_dir, fdt_ref, mm)
     g_sig = dsig_pts * sig_gate
     acc(dwsg_ref, mm_xg(e, g_sig), first)
     acc(dbsg_ref, jnp.sum(g_sig, axis=0)[None], first)
@@ -1172,8 +1186,9 @@ def _render_train_bwd_kernel(n_shape: int, n_tex: int, S: int, tile_r: int,
     g = jnp.where(cast(y0) > 0, g, 0.0)
     acc(dwxyz_ref, mm_xg(xpe, g), first)
     acc(dbxyz_ref, jnp.sum(g, axis=0)[None], first)
-    dxyz_ref[:] = _pe_bwd_from_streamed(xpe, mm_t(g, wxyz_ref[:]), l_xyz,
-                                        fxt_ref, mm)
+    if data_grads:
+        dxyz_ref[:] = _pe_bwd_from_streamed(xpe, mm_t(g, wxyz_ref[:]), l_xyz,
+                                            fxt_ref, mm)
 
 
 def _render_train_bwd_call(wt, xpe, dpe, zs, zt, z2d, gout, *,
@@ -1181,11 +1196,12 @@ def _render_train_bwd_call(wt, xpe, dpe, zs, zt, z2d, gout, *,
                            texture_blocks: int, num_xyz_freq: int,
                            num_dir_freq: int, tile_m: int,
                            tiles_per_obj: int, dtype, white_bkgd: bool,
-                           interpret: bool):
+                           interpret: bool, data_grads: bool = True):
     """xpe (R*S, d_xyz), dpe (R, d_dir) per ray, zs/zt (B, n, W) per-object
     latents, z2d (R, S) per-ray z, gout (R, 128) packed cotangents.
     Returns (dxyz (R*S, 3), dvd (R, 3), dz (R, S), dzs (B, n, W),
-    dzt (B, n, W), dwt 17-tuple)."""
+    dzt (B, n, W), dwt 17-tuple); the first three are None when
+    data_grads=False (train batches are data — see the kernel docstring)."""
     S = n_samples
     R = dpe.shape[0]
     B = zs.shape[0]
@@ -1212,8 +1228,16 @@ def _render_train_bwd_call(wt, xpe, dpe, zs, zt, z2d, gout, *,
 
     kernel = functools.partial(_render_train_bwd_kernel, shape_blocks,
                                texture_blocks, S, tile_r, dtype, white_bkgd,
-                               num_xyz_freq, num_dir_freq, tiles_per_obj)
+                               num_xyz_freq, num_dir_freq, tiles_per_obj,
+                               data_grads)
     sds = jax.ShapeDtypeStruct
+    if data_grads:
+        data_specs = [tile_spec(m, 3), tile_spec(tile_r, 3)]
+        data_shapes = [sds((R * S, 3), jnp.float32), sds((R, 3), jnp.float32)]
+        dz_specs = [tile_spec(tile_r, S), tile_spec(tile_r, S)]
+        dz_shapes = [sds((R, S), jnp.float32), sds((R, S), jnp.float32)]
+    else:
+        data_specs = data_shapes = dz_specs = dz_shapes = []
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1224,15 +1248,14 @@ def _render_train_bwd_call(wt, xpe, dpe, zs, zt, z2d, gout, *,
                  + [full()] * 17
                  + [tile_spec(tile_r, S), tile_spec(tile_r, S),
                     full(), full(), tile_spec(tile_r, 128)],
-        out_specs=[tile_spec(m, 3), tile_spec(tile_r, 3),
-                   obj_spec(shape_blocks), obj_spec(texture_blocks),
-                   tile_spec(tile_r, S), tile_spec(tile_r, S)]
+        out_specs=data_specs
+                  + [obj_spec(shape_blocks), obj_spec(texture_blocks)]
+                  + dz_specs
                   + [full()] * 17,
-        out_shape=[
-            sds((R * S, 3), jnp.float32), sds((R, 3), jnp.float32),
+        out_shape=data_shapes + [
             sds((B, shape_blocks, W), jnp.float32),
             sds((B, texture_blocks, W), jnp.float32),
-            sds((R, S), jnp.float32), sds((R, S), jnp.float32),
+        ] + dz_shapes + [
             sds((xpe.shape[-1], W), jnp.float32), sds((1, W), jnp.float32),
             sds((shape_blocks, W, W), jnp.float32),
             sds((shape_blocks, W), jnp.float32),
@@ -1249,11 +1272,17 @@ def _render_train_bwd_call(wt, xpe, dpe, zs, zt, z2d, gout, *,
         interpret=interpret,
     )(xpe, dpe, _freq_ladder(num_xyz_freq).T, _freq_ladder(num_dir_freq).T,
       zs, zt, *wt, z2d, deltas, u_mat, seg_mask, gout)
-    dxyz, dvd, dzs, dzt, dd, dzdir = outs[:6]
+    if data_grads:
+        dxyz, dvd, dzs, dzt, dd, dzdir = outs[:6]
+        dz = dzdir + jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.float32), dd[:, :-1]], axis=1) - dd
+        wouts = outs[6:]
+    else:
+        dxyz = dvd = dz = None
+        dzs, dzt = outs[:2]
+        wouts = outs[2:]
     (dwxyz, dbxyz, dwsh, dbsh, dwes, dbes, dwsg, dbsg,
-     dwvd_a, dwvd_b, dbvd, dwtx, dbtx, dwr1, dbr1, dwr2, dbr2) = outs[6:]
-    dz = dzdir + jnp.concatenate(
-        [jnp.zeros((R, 1), jnp.float32), dd[:, :-1]], axis=1) - dd
+     dwvd_a, dwvd_b, dbvd, dwtx, dbtx, dwr1, dbr1, dwr2, dbr2) = wouts
     dwt = (dwxyz, dbxyz[0], dwsh, dbsh, dwes, dbes[0], dwsg, dbsg[0],
            dwvd_a, dwvd_b, dbvd[0], dwtx, dbtx, dwr1, dbr1[0], dwr2, dbr2[0])
     return dxyz, dvd, dz, dzs, dzt, dwt
@@ -1264,10 +1293,14 @@ def _make_render_train_core(n_samples: int, shape_blocks: int,
                             texture_blocks: int, num_xyz_freq: int,
                             num_dir_freq: int, tile_fwd: int, tile_bwd: int,
                             tiles_fwd: int, tiles_bwd: int, dtype,
-                            white_bkgd: bool, compose_dtype, interpret: bool):
+                            white_bkgd: bool, compose_dtype, interpret: bool,
+                            data_grads: bool = True):
     """custom_vjp core over (xyz (B,R,S,3), vd (B,R,3), z_vals (B,S),
     zs (B,n,W), zt (B,n,W), wt) -> (rgb (B,R,3), depth (B,R), acc (B,R)).
-    ALL cotangents are real — including the decoder weight tuple."""
+    ALL cotangents are real — including the decoder weight tuple — unless
+    data_grads=False, which returns ZERO cotangents for xyz/vd/z_vals and
+    skips their kernel outputs entirely (training batches are data; the
+    padded (m, 3) dxyz write alone is ~1.5 GB/step at batch 48)."""
 
     def encode(xyz, vd):
         # classic sin/cos PE, NOT the doubling recurrence. Re-tested round 3
@@ -1318,7 +1351,10 @@ def _make_render_train_core(n_samples: int, shape_blocks: int,
             texture_blocks=texture_blocks, num_xyz_freq=num_xyz_freq,
             num_dir_freq=num_dir_freq, tile_m=tile_bwd,
             tiles_per_obj=tiles_bwd, dtype=dtype, white_bkgd=white_bkgd,
-            interpret=interpret)
+            interpret=interpret, data_grads=data_grads)
+        if not data_grads:
+            return (jnp.zeros_like(xyz), jnp.zeros_like(vd),
+                    jnp.zeros_like(z_vals), dzs, dzt, dwt)
         return (dxyz.reshape(xyz.shape), dvd.reshape(vd.shape),
                 dz.reshape(B, R, S).sum(axis=1), dzs, dzt, dwt)
 
@@ -1336,7 +1372,8 @@ def field_composite_train_pallas(packed: dict, xyz, viewdir, z_vals,
                                  dtype: Any = jnp.bfloat16,
                                  interpret: bool = False,
                                  white_bkgd: bool = False,
-                                 compose_dtype: Any = jnp.float32):
+                                 compose_dtype: Any = jnp.float32,
+                                 data_grads: bool = True):
     """DIFFERENTIABLE fused render for TRAINING: the whole NeRF branch —
     field AND compositing (ops/volume_render.volume_render semantics,
     reference trainer_unified_nuscenes.py:120-146) — as one forward and one
@@ -1351,7 +1388,11 @@ def field_composite_train_pallas(packed: dict, xyz, viewdir, z_vals,
     (reference sample_from_rays, utils.py:154-167); codes (B, latent).
     Returns (rgb (B, R, 3), depth (B, R), acc_trans (B, R)) in float32.
     Gradients flow to xyz, viewdir, z_vals, the codes (via the conditioned
-    latents), and every decoder weight/bias."""
+    latents), and every decoder weight/bias. data_grads=False returns ZERO
+    xyz/viewdir/z_vals cotangents and skips their kernel outputs — the
+    train step's batches are data, and XLA cannot dead-code individual
+    outputs of an opaque custom call (the padded per-point dxyz write alone
+    is ~1.5 GB/step at batch 48)."""
     B, R, S = xyz.shape[0], xyz.shape[1], xyz.shape[2]
     if viewdir.ndim == 4:
         viewdir = viewdir[:, :, 0, :]
@@ -1369,5 +1410,5 @@ def field_composite_train_pallas(packed: dict, xyz, viewdir, z_vals,
     core = _make_render_train_core(
         S, shape_blocks, texture_blocks, num_xyz_freq, num_dir_freq,
         tr_f * S, tr_b * S, R // tr_f, R // tr_b, dtype, white_bkgd,
-        compose_dtype, interpret)
+        compose_dtype, interpret, data_grads)
     return core(xyz, viewdir, jnp.asarray(z_vals, jnp.float32), zs, zt, wt)

@@ -220,8 +220,12 @@ def _apply_render(model, cfg: TrainConfig, variables, batch: "TrainBatch",
             kern_kw = {**kern_kw, "tile_bwd": 1024}
 
         def run(packed_r, xyz_l, vd_l, z_l, sc_l, tc_l):
+            # data_grads=False: the batch's rays/z are DATA — their
+            # cotangents are dead, and skipping them drops the backward
+            # kernel's 42.7x-padded per-point (m, 3) HBM writes
             return field_composite_train_pallas(packed_r, xyz_l, vd_l, z_l,
-                                                sc_l, tc_l, **kern_kw)
+                                                sc_l, tc_l, data_grads=False,
+                                                **kern_kw)
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P

@@ -455,3 +455,51 @@ def test_fused_train_render_white_bkgd_matches():
     for a, b, name in zip(out, ref, ("rgb", "depth", "acc")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-4, err_msg=name)
+
+
+def test_fused_train_render_data_grads_off():
+    """data_grads=False (the train step's mode): weight/code gradients match
+    the full-gradient path exactly, and the xyz/viewdir/z_vals cotangents
+    come back as zeros without the kernel emitting their outputs."""
+    from supnerf_tpu.ops.pallas_field import pack_decoder_params
+    from supnerf_tpu.ops.pallas_render import field_composite_train_pallas
+
+    model = CodeNeRFDecoder(shape_blocks=2, texture_blocks=1, W=128,
+                            latent_dim=128)
+    B, R, S = 2, 16, 8
+    vd = jax.random.normal(jax.random.PRNGKey(1), (B, R, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    z_vals = (jnp.linspace(2.0, 6.0, S)[None, :]
+              + 0.05 * jax.random.uniform(jax.random.PRNGKey(4), (B, S)))
+    xyz = vd[:, :, None, :] * z_vals[:, None, :, None] * 0.3
+    sc = jax.random.normal(jax.random.PRNGKey(2), (B, 128)) * 0.3
+    tc = jax.random.normal(jax.random.PRNGKey(3), (B, 128)) * 0.3
+    vds = jnp.broadcast_to(vd[:, :, None, :], xyz.shape)
+    variables = model.init(jax.random.PRNGKey(0), xyz, vds,
+                           sc[:, None, None, :], tc[:, None, None, :])
+    params = variables["params"]
+
+    def loss(p, x, v, z, scb, tcb, dg):
+        packed = pack_decoder_params(p, 2, 1)
+        rgb, depth, acc = field_composite_train_pallas(
+            packed, x, v, z, scb, tcb, shape_blocks=2, texture_blocks=1,
+            dtype=jnp.float32, tile_fwd=64, tile_bwd=64, interpret=True,
+            data_grads=dg)
+        return jnp.sum(rgb) + 0.3 * jnp.sum(depth) + 0.1 * jnp.sum(acc)
+
+    args = (params, xyz, vd, z_vals, sc, tc)
+    g_on = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 3, 4, 5))(*args)
+    g_off = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 3, 4, 5))(*args)
+    # weight + code grads identical
+    for a, b in zip(jax.tree.leaves(g_on[0]), jax.tree.leaves(g_off[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for on, off, name in ((g_on[3], g_off[3], "shapecodes"),
+                          (g_on[4], g_off[4], "texturecodes")):
+        np.testing.assert_array_equal(np.asarray(on), np.asarray(off),
+                                      err_msg=name)
+    # data cotangents: real when on, exactly zero when off
+    assert float(jnp.abs(g_on[1]).max()) > 0
+    np.testing.assert_array_equal(np.asarray(g_off[1]),
+                                  np.zeros_like(np.asarray(g_off[1])))
+    np.testing.assert_array_equal(np.asarray(g_off[2]),
+                                  np.zeros_like(np.asarray(g_off[2])))
