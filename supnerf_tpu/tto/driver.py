@@ -130,6 +130,7 @@ class TTODriver:
         from supnerf_tpu.utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()
+        self._pack_fn = None  # jitted result packer (see _pack_results)
         # the reference's non-BatchNorm encode path feeds a VARIABLE-size
         # keep-ratio crop (preprocess_img_keepratio(max_img_sz), e.g.
         # optimizer_nuscenes.py:179) — dynamic shapes this TPU pipeline does
@@ -374,14 +375,59 @@ class TTODriver:
             batch = shard_pytree_batch(batch, self.mesh)
         self.key, k = jax.random.split(self.key)
         with self.timer.phase("device_dispatch"):
-            return self._tto_jit(self.variables, batch, k)
+            return self._pack_results(self._tto_jit(self.variables, batch, k))
+
+    # --------------------------------------- packed device->host transfer
+    def _pack_results(self, res):
+        """Concatenate every result leaf into ONE flat uint32 device buffer.
+
+        Through this environment's TPU tunnel each device->host transfer
+        costs a fixed ~0.4 s round trip PER ARRAY; the TTO result dict has
+        ~14 leaves, so a per-leaf tree fetch costs ~3 s/batch and is the
+        product path's critical path (VALIDATION.md round-3 decomposition).
+        A bitcast+concat on device makes the whole fetch a single round
+        trip. Lossless: every leaf is a 4-byte dtype, bitcast to uint32 and
+        reinterpreted on the host. Returns (payload, meta); meta=None means
+        packing didn't apply and payload is the raw result tree.
+        """
+        leaves, treedef = jax.tree.flatten(res)
+        if not leaves or not all(l.dtype.itemsize == 4 for l in leaves):
+            return res, None
+        if self._pack_fn is None:
+            def pack(ls):
+                return jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(l, jnp.uint32).reshape(-1)
+                     for l in ls])
+            self._pack_fn = jax.jit(pack)
+        meta = (treedef, [(tuple(l.shape), np.dtype(l.dtype)) for l in leaves])
+        return self._pack_fn(leaves), meta
+
+    @staticmethod
+    def _unpack_results(buf, meta):
+        treedef, specs = meta
+        buf = np.asarray(buf)            # the ONE device->host round trip
+        out, off = [], 0
+        for shape, dtype in specs:
+            n = int(np.prod(shape, dtype=np.int64))
+            out.append(buf[off:off + n].view(dtype).reshape(shape))
+            off += n
+        return jax.tree.unflatten(treedef, out)
+
+    def _fetch_tree(self, res):
+        """Synchronously fetch a device result pytree in ONE tunnel round
+        trip (pack + unpack; used by the multiview / cross-view paths)."""
+        payload, meta = self._pack_results(res)
+        return (self._unpack_results(payload, meta) if meta is not None
+                else jax.tree.map(np.asarray, payload))
 
     def _postprocess_batch(self, idxs, samples, prepped, res):
         """Fetch one batch's device results (blocking) and do the host-side
         bookkeeping. Under run()'s pipeline this overlaps the NEXT batch's
         device step."""
         with self.timer.phase("device_tto"):
-            res = jax.tree.map(np.asarray, res)
+            payload, meta = res
+            res = (self._unpack_results(payload, meta) if meta is not None
+                   else jax.tree.map(np.asarray, payload))
 
         # OOD pose sanity check (reference optimizer_nuscenes.py:656-660): the
         # feed-forward-refined pose's up axis (rotation z column) deviating
@@ -670,7 +716,7 @@ class TTODriver:
                     [1.0] * V + [0.0] * (v_max - V), jnp.float32),
             )
             self.key, k = jax.random.split(self.key)
-            res = jax.tree.map(np.asarray, mv_jit(self.variables, batch, k))
+            res = self._fetch_tree(mv_jit(self.variables, batch, k))
             # multiview codes are FLAT (n_code, latent) per instance — the
             # reference's own multiview schema (optimizer_nuscenes.py:89-90),
             # distinct from the single-view {ann: {cam: codes}} nesting;
@@ -787,13 +833,13 @@ class TTODriver:
                 arr = np.stack([p[kk] for p in prepped])
                 return jnp.asarray(arr if dt is None else arr.astype(dt))
 
-            pm, dm = cross_jit(
+            pm, dm = self._fetch_tree(cross_jit(
                 self.variables, jnp.asarray(sc), jnp.asarray(tc),
                 col("obj_pose_gt"), col("K"), col("roi_nerf", np.float32),
                 col("wlh"), col("rgb_tgt"), col("occ_tgt"), col("lidar_u"),
-                col("lidar_v"), col("lidar_depth"), col("lidar_valid"))
-            pm = np.asarray(pm)[:, :n_v, :n_v]
-            dm = np.asarray(dm)[:, :n_v, :n_v]
+                col("lidar_v"), col("lidar_depth"), col("lidar_valid")))
+            pm = pm[:, :n_v, :n_v]
+            dm = dm[:, :n_v, :n_v]
             psnr_mat_per_ins[ins] = [pm[ci] for ci in range(pm.shape[0])]
             depth_mat_per_ins[ins] = [dm[ci] for ci in range(dm.shape[0])]
 
