@@ -375,7 +375,17 @@ class TTODriver:
             batch = shard_pytree_batch(batch, self.mesh)
         self.key, k = jax.random.split(self.key)
         with self.timer.phase("device_dispatch"):
-            return self._pack_results(self._tto_jit(self.variables, batch, k))
+            payload, meta = self._pack_results(
+                self._tto_jit(self.variables, batch, k))
+            if meta is not None:
+                try:
+                    # start the D2H copy the moment the program finishes so
+                    # _postprocess_batch's fetch finds the bytes already on
+                    # the host instead of paying the tunnel round trip there
+                    payload.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            return payload, meta
 
     # --------------------------------------- packed device->host transfer
     def _pack_results(self, res):
