@@ -1,18 +1,31 @@
 """Benchmarks on the real TPU chip. Prints ONE JSON line.
 
-Default (BENCH_METRIC=all): runs all three benchmarks and reports the
-DECLARED north-star metric (render rays/sec/chip vs the 50M rays/s target in
-BASELINE.json) as the primary, with the TTO and train-step throughputs in
-"extra" — both product-level measures, reported every round so the scoreboard
-is interpretable (the 50M target exceeds the v5e bf16 roofline for this
-field; see BASELINE.md "Roofline note" for the arithmetic and the achievable
-target the vs_roofline field tracks).
+Default (BENCH_METRIC=all): runs every stage in a TIME-BOXED subprocess under
+a global self-deadline (BENCH_DEADLINE_S, default 900 s) and always prints the
+one JSON line with whatever completed — a stage that hangs or compiles too
+slowly forfeits only itself, never the whole scoreboard (round 3's official
+bench was rc=124/parsed=null because one slow stage starved the single final
+print; see VERDICT round 3 "what's weak" #1).
 
-BENCH_METRIC=render|tto|train selects a single benchmark for iteration.
+Stages, in scoreboard-value order:
+  render         raw renderer rays/s at the TTO-iteration shape (the primary)
+  tto            device-only TTO objects/min (one jitted program per batch)
+  train          isolated jitted train step at the published batch 48
+  product        TTODriver.run() end-to-end objects/min (host prep + dispatch
+                 pipeline + fetch + bookkeeping)
+  train_product  UnifiedTrainer.training_epoch end-to-end steps/s (real
+                 per-sample ray prep through PrefetchBatcher feeding the chip)
 
-All timed loops run INSIDE one jitted program (lax.fori_loop / lax.scan):
+BENCH_METRIC=<stage> runs a single stage in-process and prints its own line.
+BENCH_SMOKE=1 forces the CPU platform and tiny shapes in every stage — the
+bench-contract smoke the test suite runs (tests/test_bench_smoke.py).
+
+All timed device loops run INSIDE one jitted program (lax.fori_loop/scan):
 dispatch round-trips through this environment's TPU tunnel cost ~0.4 s each
-and would otherwise dominate.
+and would otherwise dominate. The TTO and product stages share ONE compiled
+TTO program (identical TTODriver config), so a cold cache pays that compile
+once; the persistent compilation cache in .jax_cache/ is committed so the
+driver's end-of-round run starts warm.
 """
 import json
 import os
@@ -27,6 +40,12 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+SMOKE = os.environ.get("BENCH_SMOKE", "0") == "1"
+if SMOKE:
+    # contract smoke: tiny shapes on the host CPU (works because the remote
+    # TPU backend is only instantiated at first device use)
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
@@ -53,36 +72,87 @@ REFERENCE_TTO_OBJ_PER_MIN_EST = 6.0
 
 from supnerf_tpu.data.synthetic import PUBLISHED_NET_HP as _PUBLISHED_HP
 
+_SMOKE_NET_HP = {
+    "shape_blocks": 1, "texture_blocks": 1, "pose_blocks": 1,
+    "regress_blocks": 1, "latent_dim": 32, "num_xyz_freq": 10,
+    "num_dir_freq": 4, "pose_shortcut": 1, "pred_wlh": 0,
+}
+
+
+def _net_hp():
+    return _SMOKE_NET_HP if SMOKE else _PUBLISHED_HP
+
+
+def _field_impl():
+    # the fused kernels only run compiled on accelerators; the CPU smoke
+    # exercises the XLA-autodiff path (kernel parity has its own test files)
+    if SMOKE:
+        return "flax"
+    return os.environ.get("BENCH_FIELD_IMPL", "pallas")
+
+
+def _bench_hparams():
+    """Shared TTO/train protocol hparams: published values, or tiny smoke
+    shapes. ONE source for the tto and product stages so they compile the
+    SAME XLA program (same TTOConfig + batch shapes -> one cold compile)."""
+    from supnerf_tpu.data.synthetic import published_hparams
+
+    hp = published_hparams()
+    if SMOKE:
+        hp["net_hyperparams"] = dict(_SMOKE_NET_HP)
+        hp.update(n_rays=64, n_samples=8, in_img_sz=32, render_im_sz=8)
+        hp["optimize"]["num_opts"] = 4
+    return hp
+
+
+def _make_tto_driver(save_dir, n_objects, bs):
+    """The TTODriver both TTO stages use — identical model/config so the
+    device program (driver._tto) is compiled once across the two stages."""
+    from supnerf_tpu.data.synthetic import SyntheticTTODataset
+    from supnerf_tpu.models import build_model, init_model_variables
+    from supnerf_tpu.tto.driver import TTODriver
+
+    hp = _bench_hparams()
+    latent = hp["net_hyperparams"]["latent_dim"]
+    model = build_model("supnerf", hp["net_hyperparams"])
+    variables = init_model_variables(model, jax.random.PRNGKey(0),
+                                     img_size=hp["in_img_sz"])
+    n_lidar = 8 if SMOKE else 256
+    drv = TTODriver(model, variables, np.zeros(latent, np.float32),
+                    np.zeros(latent, np.float32), hp,
+                    SyntheticTTODataset(n_objects, seed0=100), save_dir,
+                    batch_size=bs, reg_iters=3, add_pose_err=2,
+                    save_freq=10 ** 9, field_impl=_field_impl())
+    if n_lidar != drv.cfg.n_lidar:
+        import dataclasses
+
+        drv.cfg = dataclasses.replace(drv.cfg, n_lidar=n_lidar)
+    return drv
+
 
 def bench_tto():
-    """Full test-time-optimization throughput: objects/min through the
+    """DEVICE-only test-time-optimization throughput: objects/min through the
     published pipeline (encode + refine + 100 Adam iterations at 1024 rays x
-    64 samples) as one jitted program per object batch."""
-    from supnerf_tpu.data.synthetic import make_object_batch
-    from supnerf_tpu.models import build_model, init_model_variables
-    from supnerf_tpu.tto.core import ObjectBatch, TTOConfig, run_tto_batch
+    64 samples) as one jitted program per object batch — timed dispatch to
+    completion, no host bookkeeping (the product stage measures that)."""
+    import tempfile
 
-    model = build_model("supnerf", _PUBLISHED_HP)
-    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
-    B = int(os.environ.get("BENCH_OBJECTS", "16"))
-    # published defaults: 100 opts, 32^2 rays, 64 samples. BENCH_FIELD_IMPL
-    # selects the hot-loop field: fused Pallas fwd+bwd kernels vs XLA autodiff.
-    cfg = TTOConfig(field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
-    if os.environ.get("BENCH_AABB", "0") == "1":
-        # demo-protocol variant: AABB-bounded per-ray sampling (reference
-        # render_rays_v3) on the fused per-ray-z render kernel
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, use_aabb_render=True, adjust_scale=0.5)
-    raw, _ = make_object_batch(B, seed=0, in_img_sz=128, render_im_sz=32,
-                               n_lidar=256)
-    batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
-    zeros = jnp.zeros(256)
-    fn = jax.jit(lambda v, b, k: run_tto_batch(model, v, b, zeros, zeros, cfg, k))
-    jax.block_until_ready(fn(variables, batch, jax.random.PRNGKey(0)))
-    t0 = time.perf_counter()
-    out = fn(variables, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    B = int(os.environ.get("BENCH_OBJECTS", "2" if SMOKE else "16"))
+    with tempfile.TemporaryDirectory() as tmp:
+        drv = _make_tto_driver(tmp, B, B)
+        prepped, _ = drv._prep_batch(list(range(B)))
+        stacked = {k: np.stack([r[k] for r in prepped]) for k in prepped[0]}
+        from supnerf_tpu.tto.core import ObjectBatch
+
+        batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in stacked.items()})
+        # warmup/compile with a different key (the remote execution layer can
+        # cache identical executions)
+        out = drv._tto(drv.variables, batch, jax.random.PRNGKey(0))
+        jax.block_until_ready(out[0])
+        t0 = time.perf_counter()
+        out = drv._tto(drv.variables, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(out[0])
+        dt = time.perf_counter() - t0
     return B / dt * 60
 
 
@@ -92,27 +162,16 @@ def bench_tto_product():
     pickles — over a synthetic dataset (objects/min). The driver pipeline
     overlaps prep and bookkeeping with the device steps; this measures what
     a user actually gets vs bench_tto's device-only number."""
+    import contextlib
     import tempfile
 
-    from supnerf_tpu.data.synthetic import SyntheticTTODataset, published_hparams
-    from supnerf_tpu.models import build_model, init_model_variables
-    from supnerf_tpu.tto.driver import TTODriver
+    from supnerf_tpu.data.synthetic import SyntheticTTODataset
 
-    n_obj = int(os.environ.get("BENCH_PRODUCT_OBJECTS", "64"))
-    bs = int(os.environ.get("BENCH_OBJECTS", "16"))
-
-    hp = published_hparams()
-    model = build_model("supnerf", _PUBLISHED_HP)
-    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=128)
-    import contextlib
+    n_obj = int(os.environ.get("BENCH_PRODUCT_OBJECTS", "4" if SMOKE else "64"))
+    bs = int(os.environ.get("BENCH_OBJECTS", "2" if SMOKE else "16"))
 
     with tempfile.TemporaryDirectory() as tmp:
-        drv = TTODriver(model, variables, np.zeros(256, np.float32),
-                        np.zeros(256, np.float32), hp,
-                        SyntheticTTODataset(bs, seed0=100), tmp,
-                        batch_size=bs, reg_iters=3, add_pose_err=2,
-                        save_freq=10 ** 9,
-                        field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
+        drv = _make_tto_driver(tmp, bs, bs)
         # driver progress prints go to stderr: bench stdout is ONE JSON line
         with contextlib.redirect_stdout(sys.stderr):
             drv.run()     # warmup: compile + first dispatch
@@ -129,26 +188,28 @@ def bench_render():
     from supnerf_tpu.models import build_model, init_model_variables
     from supnerf_tpu.render.renderer import render_rays_frustum
 
+    net_hp = _net_hp()
+    latent = net_hp["latent_dim"]
     model = build_model("supnerf", {
-        **_PUBLISHED_HP,
+        **net_hp,
         "field_dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
     })
     variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
 
     # TTO-iteration shape: render_im_sz=32 -> 1024 rays x 64 samples per
     # object, batched over B objects (the vmapped optimizer's inner render).
-    B = int(os.environ.get("BENCH_OBJECTS", "32"))
-    IM_SZ, N_SAMPLES = 32, 64
+    B = int(os.environ.get("BENCH_OBJECTS", "2" if SMOKE else "32"))
+    IM_SZ, N_SAMPLES = (8, 8) if SMOKE else (32, 64)
     K = jnp.asarray([[800.0, 0, 640], [0, 800, 360], [0, 0, 1]])
     roi = jnp.asarray([500.0, 200.0, 700.0, 400.0])
     cam = jnp.concatenate([jnp.eye(3), jnp.asarray([[0.0], [0.0], [-20.0]])], axis=1)
     diag = jnp.float32(5.3)
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-    shapecodes = jax.random.normal(jax.random.PRNGKey(1), (B, 256)) * 0.1
-    texturecodes = jax.random.normal(jax.random.PRNGKey(2), (B, 256)) * 0.1
+    shapecodes = jax.random.normal(jax.random.PRNGKey(1), (B, latent)) * 0.1
+    texturecodes = jax.random.normal(jax.random.PRNGKey(2), (B, latent)) * 0.1
 
-    impl = os.environ.get("BENCH_IMPL", "pallas")  # pallas | xla
+    impl = "xla" if SMOKE else os.environ.get("BENCH_IMPL", "pallas")
     dt_ = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bfloat16")]
     tile_m = int(os.environ.get("BENCH_TILE_M", "2048"))
@@ -158,8 +219,11 @@ def bench_render():
         from supnerf_tpu.ops.pallas_field import pack_decoder_params
         from supnerf_tpu.ops.pallas_render import make_composite_fn
 
-        packed = pack_decoder_params(variables["params"]["decoder"], 3, 1)
-        kern_kw = dict(shape_blocks=3, texture_blocks=1, dtype=dt_,
+        packed = pack_decoder_params(variables["params"]["decoder"],
+                                     net_hp["shape_blocks"],
+                                     net_hp["texture_blocks"])
+        kern_kw = dict(shape_blocks=net_hp["shape_blocks"],
+                       texture_blocks=net_hp["texture_blocks"], dtype=dt_,
                        tile_fwd=tile_m)
 
         def composite_for(sc, tc):
@@ -180,7 +244,7 @@ def bench_render():
         )
         return out["rgb"], out["depth"], out["acc_trans"]
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "2" if SMOKE else "20"))
 
     @jax.jit
     def timed_loop(keys, sc, tc):
@@ -201,21 +265,24 @@ def bench_render():
 
 
 def bench_train():
-    """Unified training step at the published batch-48 shape (48 x 1024 rays
-    x 64 samples + 128 px encoder input), n steps inside one jitted
-    fori_loop. Returns (steps/s, point-evals/s)."""
+    """ISOLATED unified training step at the published batch-48 shape (48 x
+    1024 rays x 64 samples + 128 px encoder input), n steps inside one jitted
+    fori_loop with a pre-built static batch. Returns (steps/s, point-evals/s).
+    The train_product stage measures the same step through the real epoch
+    loop instead."""
     from supnerf_tpu.models import build_model
     from supnerf_tpu.training import (
         TrainBatch, TrainConfig, init_train_state, make_train_step,
     )
 
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "48"))
-    R, S, IMG = 1024, 64, 128
-    n_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "2" if SMOKE else "48"))
+    R, S, IMG = (32, 8, 32) if SMOKE else (1024, 64, 128)
+    n_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "2" if SMOKE else "5"))
 
-    model = build_model("supnerf", _PUBLISHED_HP)
-    cfg = TrainConfig(latent_dim=256,
-                      field_impl=os.environ.get("BENCH_FIELD_IMPL", "pallas"))
+    net_hp = _net_hp()
+    model = build_model("supnerf", net_hp)
+    cfg = TrainConfig(latent_dim=net_hp["latent_dim"],
+                      field_impl=_field_impl())
     state = init_train_state(model, jax.random.PRNGKey(0), n_instances=B,
                              cfg=cfg, img_size=IMG)
     step = make_train_step(model, cfg, donate=False)
@@ -240,6 +307,149 @@ def bench_train():
     dt = time.perf_counter() - t0
     steps_per_sec = n_iters / dt
     return steps_per_sec, steps_per_sec * B * R * S
+
+
+def bench_train_product():
+    """PRODUCT-path training throughput: UnifiedTrainer.training_epoch over a
+    synthetic dataset at the published batch 48 with REAL per-sample ray prep
+    through PrefetchBatcher workers feeding the jitted step — what a user's
+    train run actually sustains, vs bench_train's isolated-step number
+    (reference: the dataloader-worker ray prep this replaces,
+    /root/reference/src/data_nuscenes.py:615-658)."""
+    import contextlib
+    import tempfile
+
+    from supnerf_tpu.data.synthetic import CyclingDataset, SyntheticTTODataset
+    from supnerf_tpu.models import build_model
+    from supnerf_tpu.training.trainer import UnifiedTrainer
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "2" if SMOKE else "48"))
+    steps = int(os.environ.get("BENCH_TRAIN_EPOCH_STEPS", "2" if SMOKE else "10"))
+    n_base = 2 if SMOKE else 48    # distinct synthetic objects (memory-bounded)
+    workers = int(os.environ.get("BENCH_TRAIN_WORKERS", "8"))
+
+    hp = _bench_hparams()
+    model = build_model("supnerf", hp["net_hyperparams"])
+    ds = CyclingDataset(SyntheticTTODataset(n_base, seed0=500), B * steps)
+
+    with tempfile.TemporaryDirectory() as tmp, \
+            contextlib.redirect_stdout(sys.stderr):
+        trainer = UnifiedTrainer(model, hp, ds, tmp, batch_size=B,
+                                 field_impl=_field_impl(), log_writer=False,
+                                 check_iter=10 ** 9, seed=0)
+        trainer.training_epoch(num_workers=workers)   # warmup epoch: compile
+        trainer.nepoch = 1
+        t0 = time.perf_counter()
+        trainer.training_epoch(num_workers=workers)
+        dt = time.perf_counter() - t0
+    return steps / dt
+
+
+# --------------------------------------------------------------- orchestrator
+
+STAGES = ("render", "tto", "train", "product", "train_product")
+# fraction of the global deadline each stage may consume at most
+_STAGE_CAP_FRAC = {"render": 0.40, "tto": 0.45, "train": 0.40,
+                   "product": 0.55, "train_product": 0.55}
+_RESERVE_S = 20.0      # always left for assembling + printing the JSON line
+_MIN_STAGE_S = 45.0
+
+
+def _run_stage_subprocess(stage: str, timeout_s: float):
+    """Run one stage as `BENCH_METRIC=<stage> python bench.py` and return its
+    parsed JSON dict, or None on timeout/failure. Isolation means a hung or
+    crashed stage cannot eat the global deadline's final print."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["BENCH_METRIC"] = stage
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        return None, f"rc={proc.returncode}: {' | '.join(tail)[-300:]}"
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+    return None, "no JSON line on stdout"
+
+
+def _assemble(results: dict, failures: dict, skipped: list,
+              stage_seconds: dict, deadline: float):
+    """One scoreboard line from whatever completed. Primary = render rays/s;
+    if the render stage is missing, fall back down the value order so the
+    line still carries a number."""
+    extra = {
+        "stages_timed_out": sorted(k for k, v in failures.items()
+                                   if v == "timeout"),
+        "stages_failed": {k: v for k, v in failures.items() if v != "timeout"},
+        "stages_skipped": skipped,
+        "stage_seconds": {k: round(v, 1) for k, v in stage_seconds.items()},
+        "deadline_s": deadline,
+        "smoke": SMOKE,
+    }
+    if "tto" in results:
+        extra["tto_objects_per_min_per_chip"] = results["tto"]["value"]
+        extra["tto_vs_serial_reference_estimate"] = results["tto"]["vs_baseline"]
+    if "product" in results:
+        extra["tto_product_objects_per_min_per_chip"] = results["product"]["value"]
+    if "train" in results:
+        extra["train_steps_per_sec_per_chip"] = results["train"]["value"]
+        extra["train_point_evals_per_sec"] = \
+            results["train"]["extra"]["train_point_evals_per_sec"]
+    if "train_product" in results:
+        extra["train_product_steps_per_sec_per_chip"] = \
+            results["train_product"]["value"]
+
+    if "render" in results:
+        r = results["render"]
+        extra["vs_roofline"] = r["extra"]["vs_roofline"]
+        extra["vs_shape_ceiling"] = r["extra"]["vs_shape_ceiling"]
+        return {"metric": "render_rays_per_sec_per_chip", "value": r["value"],
+                "unit": "rays/s", "vs_baseline": r["vs_baseline"],
+                "extra": extra}
+    for stage in ("tto", "train", "product", "train_product"):
+        if stage in results:
+            r = results[stage]
+            return {"metric": r["metric"], "value": r["value"],
+                    "unit": r["unit"], "vs_baseline": r.get("vs_baseline"),
+                    "extra": extra}
+    return {"metric": "bench_incomplete", "value": 0.0, "unit": "none",
+            "vs_baseline": None, "extra": extra}
+
+
+def run_all():
+    deadline = float(os.environ.get("BENCH_DEADLINE_S",
+                                    "240" if SMOKE else "900"))
+    stages = [s.strip() for s in
+              os.environ.get("BENCH_STAGES", ",".join(STAGES)).split(",")
+              if s.strip()]
+    t_start = time.monotonic()
+    results, failures, skipped, stage_seconds = {}, {}, [], {}
+    for stage in stages:
+        remaining = deadline - (time.monotonic() - t_start) - _RESERVE_S
+        budget = min(remaining, _STAGE_CAP_FRAC.get(stage, 0.4) * deadline)
+        if budget < _MIN_STAGE_S:
+            skipped.append(stage)
+            continue
+        t0 = time.monotonic()
+        parsed, err = _run_stage_subprocess(stage, budget)
+        stage_seconds[stage] = time.monotonic() - t0
+        if parsed is None:
+            failures[stage] = err
+            print(f"stage {stage} failed: {err}", file=sys.stderr)
+        else:
+            results[stage] = parsed
+    print(json.dumps(_assemble(results, failures, skipped, stage_seconds,
+                               deadline)))
 
 
 def main():
@@ -268,9 +478,9 @@ def main():
             "metric": "train_steps_per_sec_per_chip", "value": round(sps, 3),
             "unit": "steps/s", "vs_baseline": None,
             "extra": {"train_point_evals_per_sec": round(peps, 1),
-                      "batch": int(os.environ.get("BENCH_TRAIN_BATCH", "48"))}}))
+                      "batch": int(os.environ.get(
+                          "BENCH_TRAIN_BATCH", "2" if SMOKE else "48"))}}))
         return
-
     if mode == "product":
         v = bench_tto_product()
         print(json.dumps({
@@ -279,28 +489,15 @@ def main():
             "vs_baseline": round(v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
             "extra": {"baseline_is_builder_estimate": True}}))
         return
-
-    # default: all four, one line, north-star primary
-    rays = bench_render()
-    tto = bench_tto()
-    prod = bench_tto_product()
-    sps, peps = bench_train()
-    print(json.dumps({
-        "metric": "render_rays_per_sec_per_chip",
-        "value": round(rays, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays / NORTH_STAR_RAYS_PER_SEC, 4),
-        "extra": {
-            "vs_roofline": round(rays / ROOFLINE_RAYS_PER_SEC, 4),
-            "vs_shape_ceiling": round(rays / SHAPE_CEILING_RAYS_PER_SEC, 4),
-            "tto_objects_per_min_per_chip": round(tto, 2),
-            "tto_product_objects_per_min_per_chip": round(prod, 2),
-            "tto_vs_serial_reference_estimate": round(
-                tto / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
-            "train_steps_per_sec_per_chip": round(sps, 3),
-            "train_point_evals_per_sec": round(peps, 1),
-        },
-    }))
+    if mode == "train_product":
+        v = bench_train_product()
+        print(json.dumps({
+            "metric": "train_product_steps_per_sec_per_chip",
+            "value": round(v, 3), "unit": "steps/s", "vs_baseline": None,
+            "extra": {"batch": int(os.environ.get(
+                "BENCH_TRAIN_BATCH", "2" if SMOKE else "48"))}}))
+        return
+    run_all()
 
 
 if __name__ == "__main__":

@@ -249,6 +249,27 @@ class SyntheticTTODataset:
         return self.samples[i]
 
 
+class CyclingDataset:
+    """A length-n view cycling over a smaller base dataset (i -> base[i % len]).
+
+    Lets the product-level train benchmark run a realistic number of steps
+    per epoch without materializing hundreds of full-resolution synthetic
+    frames (each ~23 MB): host-side prep randomness is salted by the ROW
+    index (trainer._prepare_row), so repeated base samples still produce
+    distinct ray draws and pose errors per row, like fresh dataset accesses
+    in the reference's mode-2 protocol."""
+
+    def __init__(self, base, n: int):
+        self.base = base
+        self.n = int(n)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.base[i % len(self.base)]
+
+
 def make_heldout_tto_batch(n_eval: int, seed: int, *, in_img_sz: int = 128,
                            render_im_sz: int = 32, n_lidar: int = 256,
                            pose_seed: int = 11):

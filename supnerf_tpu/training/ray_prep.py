@@ -34,13 +34,23 @@ def _get_rays_np(K, c2w, roi, uv_steps=None):
 def prepare_pixel_samples(img_crop, mask_crop, cam_pose, obj_diag, K, roi,
                           n_rays: int, n_samples: int, shapenet_obj_cood: bool,
                           sym_aug: bool, rng: np.random.Generator,
-                          im_sz: int | None = None):
+                          im_sz: int | None = None, compact: bool = False):
     """img_crop (h, w, 3) whitened ROI crop; mask_crop (h, w, 1) in {-1,0,1}.
 
     Returns dict(xyz (n_rays, S, 3), viewdir (n_rays, S, 3), z_vals (S,),
     rgb_tgt (n_rays, 3), occ_pixels (n_rays, 1)). If the roi has fewer pixels
     than n_rays, rays are repeated (reference instead shrinks the batch, which
-    would break static shapes; repetition preserves the loss normalization)."""
+    would break static shapes; repetition preserves the loss normalization).
+
+    compact=True returns UN-EXPANDED rays — xyz (n_rays, 3) holds the
+    transformed, diagonal-normalized ray ORIGIN and viewdir (n_rays, 3) the
+    transformed unit direction; the per-sample point grid is reconstructed on
+    device as xyz + viewdir * z/diag (train_step.expand_compact_rays). The
+    flip/permute transforms are linear, so the expansion commutes exactly (up
+    to fp reassociation of the /diag). This cuts the host->device transfer of
+    the two (B, R, S, 3) tensors by a factor of n_samples — through this
+    environment's TPU tunnel they are ~75 MB/step at the published batch 48
+    and dominate the product train path otherwise."""
     near = np.linalg.norm(cam_pose[:, 3]) - obj_diag / 2
     far = np.linalg.norm(cam_pose[:, 3]) + obj_diag / 2
 
@@ -70,6 +80,23 @@ def prepare_pixel_samples(img_crop, mask_crop, cam_pose, obj_diag, K, roi,
     z_vals = np.linspace(near + dist, far - dist, n_samples)
     z_vals = z_vals + rng.random(n_samples) * (far - near) / (2 * n_samples)
 
+    if compact:
+        xyz = rays_o / obj_diag            # origin term of the expansion
+        vds = viewdir.copy()
+        if sym_aug and rng.random() > 0.5:
+            xyz[:, 1] *= -1
+            vds[:, 1] *= -1
+        if shapenet_obj_cood:
+            xyz = np.stack([-xyz[..., 1], xyz[..., 0], xyz[..., 2]], axis=-1)
+            vds = np.stack([-vds[..., 1], vds[..., 0], vds[..., 2]], axis=-1)
+        return {
+            "xyz": xyz.astype(np.float32),
+            "viewdir": vds.astype(np.float32),
+            "z_vals": z_vals.astype(np.float32),
+            "rgb_tgt": rgb_tgt.astype(np.float32),
+            "occ_pixels": occ_pixels.astype(np.float32),
+        }
+
     xyz = rays_o[:, None, :] + viewdir[:, None, :] * z_vals[None, :, None]
     xyz = xyz / obj_diag
     vds = np.broadcast_to(viewdir[:, None, :], xyz.shape).copy()
@@ -94,7 +121,8 @@ def prepare_train_sample(sample, *, n_rays: int = 1024, n_samples: int = 64,
                          in_img_sz: int = 128, roi_margin: int = 5,
                          shapenet_obj_cood: bool = True, sym_aug: bool = False,
                          rng=None, render_sz: int | None = None,
-                         src_pose=None, code_idx: int = 0):
+                         src_pose=None, code_idx: int = 0,
+                         compact_rays: bool = False):
     """Full host prep from a dataset sample dict (see data.synthetic /
     data.nuscenes) to one TrainBatch row (stack rows then shard)."""
     from supnerf_tpu.geometry.boxes import corners_of_box, view_points
@@ -116,6 +144,7 @@ def prepare_train_sample(sample, *, n_rays: int = 1024, n_samples: int = 64,
         img_crop, mask_crop, sample["cam_poses"], obj_diag,
         sample["cam_intrinsics"], roi, n_rays, n_samples,
         shapenet_obj_cood, sym_aug, rng, im_sz=render_sz,
+        compact=compact_rays,
     )
 
     tgt_pose = sample["obj_poses"]

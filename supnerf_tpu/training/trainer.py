@@ -72,7 +72,8 @@ class UnifiedTrainer:
                  aug_box2d: bool = False, finetune_wlh: bool = False,
                  n_devices: int | None = None, seed: int = 0,
                  check_iter: int = 1000, log_writer=None,
-                 field_impl: str = "flax", save_every: int = 1):
+                 field_impl: str = "flax", save_every: int = 1,
+                 compact_rays: bool = True, metric_flush: int = 10):
         self.model = model
         self.hpams = hpams
         self.dataset = dataset
@@ -87,6 +88,13 @@ class UnifiedTrainer:
         self.key = jax.random.PRNGKey(seed)
         self.nepoch = 0
         self.check_iter = check_iter
+        # upload compact (B, R, 3) rays and expand to the (B, R, S, 3) point
+        # grid on device (train_step.expand_compact_rays) — ~60x less H2D
+        self.compact_rays = compact_rays
+        # fetch step metrics in windows of this many steps: a per-step
+        # blocking device_get costs one ~0.4 s tunnel round trip per step,
+        # several times the step itself at the published batch
+        self.metric_flush = max(int(metric_flush), 1)
         # per-epoch checkpoints match the reference (save_models :387); >1
         # amortizes the full-state device_get on short epochs (the transfer
         # costs more than 16 train steps through the TPU tunnel)
@@ -203,6 +211,7 @@ class UnifiedTrainer:
             render_sz=self.hpams.get("render_sz"),
             src_pose=src_pose,
             code_idx=self.instoken2idx[s.get("instoken", str(idx))],
+            compact_rays=self.compact_rays,
         )
         if self.aug_wlh:
             fac = rng.uniform(0.9, 1.1, 3).astype(np.float32)
@@ -247,14 +256,45 @@ class UnifiedTrainer:
         # host-side step counter: int(self.state.niter) per step would be a
         # blocking device->host transfer (one ~0.4 s tunnel round trip each)
         niter_host = int(self.state.niter)
-        for batch in batcher:
-            self.key, k = jax.random.split(self.key)
+        # per-step keys derived ON THE HOST CPU from (seed, epoch, step):
+        # jax.random.split(self.key) each step is a per-step device dispatch
+        # through the tunnel and serializes the key chain across steps
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            epoch_key = np.asarray(jax.random.fold_in(
+                jax.random.PRNGKey(self._base_seed), salt))
+        pending = []        # (device metric tree, dt, niter) awaiting fetch
+        for bi, batch in enumerate(batcher):
+            with jax.default_device(cpu):
+                k = np.asarray(jax.random.fold_in(jnp.asarray(epoch_key), bi))
             self.state, metrics = self.step_fn(self.state, batch, k)
             niter_host += 1
-            self._log(metrics, time.time() - t0, niter_host)
+            # start the D2H copies now; block only at the flush boundary
+            jax.tree.map(self._copy_async, metrics)
+            pending.append((metrics, time.time() - t0, niter_host))
+            if len(pending) >= self.metric_flush:
+                self._flush_metrics(pending)
+                pending = []
             if niter_host % self.check_iter == 0:
                 self._log_vis(first_idx)
             t0 = time.time()
+        self._flush_metrics(pending)
+
+    @staticmethod
+    def _copy_async(x):
+        try:
+            x.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+
+    def _flush_metrics(self, pending):
+        """ONE blocking fetch for a window of steps' metrics (async per-leaf
+        copies were already started), then the host-side logging."""
+        if not pending:
+            return
+        fetched = jax.device_get([m for m, _, _ in pending])
+        for f, (_, dt, niter) in zip(fetched, pending):
+            self._log(f, dt, niter, fetched=True)
 
     def _log_vis(self, idx: int):
         """Render a [generated | target] panel for one sample of the batch and
@@ -290,13 +330,14 @@ class UnifiedTrainer:
         except Exception as e:  # visualization must never kill training
             print(f"vis logging failed: {e}")
 
-    def _log(self, metrics, dt, niter=None):
+    def _log(self, metrics, dt, niter=None, fetched=False):
         if niter is None:
             niter = int(self.state.niter)
         # ONE device->host fetch for all metrics: a per-scalar np.asarray
         # costs a full tunnel round trip per metric (~12 per step)
-        fetched = jax.device_get(metrics)
-        scalars = {k: float(v) for k, v in fetched.items()}
+        if not fetched:
+            metrics = jax.device_get(metrics)
+        scalars = {k: float(v) for k, v in metrics.items()}
         scalars["time/train"] = dt
         self.metrics_history.append(scalars)
         if self.writer is not None:

@@ -35,6 +35,7 @@ from supnerf_tpu.tto.core import (
     run_tto_batch,
 )
 from supnerf_tpu.tto.pnp import pnp_bootstrap
+from supnerf_tpu.utils.transfer import packed_jit
 
 KITTI_BOX_FAC = 1.1
 
@@ -130,7 +131,6 @@ class TTODriver:
         from supnerf_tpu.utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()
-        self._pack_fn = None  # jitted result packer (see _pack_results)
         # the reference's non-BatchNorm encode path feeds a VARIABLE-size
         # keep-ratio crop (preprocess_img_keepratio(max_img_sz), e.g.
         # optimizer_nuscenes.py:179) — dynamic shapes this TPU pipeline does
@@ -204,9 +204,15 @@ class TTODriver:
 
             self._pallas_field = _pallas_fwd
 
-        self._tto_jit = jax.jit(
+        # the result pytree is bitcast+packed into ONE uint32 buffer inside
+        # the SAME jitted program (utils.transfer.packed_jit): one dispatch +
+        # one fetch round trip per batch through the TPU tunnel, instead of
+        # one dispatch for the TTO, one for a separate packing program, and
+        # ~14 per-leaf fetches
+        self._tto = packed_jit(
             lambda v, b, k: run_tto_batch(self.model, v, b, self.mean_shape,
-                                          self.mean_texture, self.cfg, k)
+                                          self.mean_texture, self.cfg, k),
+            label="tto_batch",
         )
 
         # result dicts mirroring the reference's bookkeeping
@@ -375,69 +381,16 @@ class TTODriver:
             batch = shard_pytree_batch(batch, self.mesh)
         self.key, k = jax.random.split(self.key)
         with self.timer.phase("device_dispatch"):
-            payload, meta = self._pack_results(
-                self._tto_jit(self.variables, batch, k))
-            if meta is not None:
-                try:
-                    # start the D2H copy the moment the program finishes so
-                    # _postprocess_batch's fetch finds the bytes already on
-                    # the host instead of paying the tunnel round trip there
-                    payload.copy_to_host_async()
-                except (AttributeError, NotImplementedError):
-                    pass
-            return payload, meta
-
-    # --------------------------------------- packed device->host transfer
-    def _pack_results(self, res):
-        """Concatenate every result leaf into ONE flat uint32 device buffer.
-
-        Through this environment's TPU tunnel each device->host transfer
-        costs a fixed ~0.4 s round trip PER ARRAY; the TTO result dict has
-        ~14 leaves, so a per-leaf tree fetch costs ~3 s/batch and is the
-        product path's critical path (VALIDATION.md round-3 decomposition).
-        A bitcast+concat on device makes the whole fetch a single round
-        trip. Lossless: every leaf is a 4-byte dtype, bitcast to uint32 and
-        reinterpreted on the host. Returns (payload, meta); meta=None means
-        packing didn't apply and payload is the raw result tree.
-        """
-        leaves, treedef = jax.tree.flatten(res)
-        if not leaves or not all(l.dtype.itemsize == 4 for l in leaves):
-            return res, None
-        if self._pack_fn is None:
-            def pack(ls):
-                return jnp.concatenate(
-                    [jax.lax.bitcast_convert_type(l, jnp.uint32).reshape(-1)
-                     for l in ls])
-            self._pack_fn = jax.jit(pack)
-        meta = (treedef, [(tuple(l.shape), np.dtype(l.dtype)) for l in leaves])
-        return self._pack_fn(leaves), meta
-
-    @staticmethod
-    def _unpack_results(buf, meta):
-        treedef, specs = meta
-        buf = np.asarray(buf)            # the ONE device->host round trip
-        out, off = [], 0
-        for shape, dtype in specs:
-            n = int(np.prod(shape, dtype=np.int64))
-            out.append(buf[off:off + n].view(dtype).reshape(shape))
-            off += n
-        return jax.tree.unflatten(treedef, out)
-
-    def _fetch_tree(self, res):
-        """Synchronously fetch a device result pytree in ONE tunnel round
-        trip (pack + unpack; used by the multiview / cross-view paths)."""
-        payload, meta = self._pack_results(res)
-        return (self._unpack_results(payload, meta) if meta is not None
-                else jax.tree.map(np.asarray, payload))
+            # one program dispatch; the packed D2H copy starts as soon as the
+            # program finishes (PackedFunction.__call__)
+            return self._tto(self.variables, batch, k)
 
     def _postprocess_batch(self, idxs, samples, prepped, res):
         """Fetch one batch's device results (blocking) and do the host-side
         bookkeeping. Under run()'s pipeline this overlaps the NEXT batch's
         device step."""
         with self.timer.phase("device_tto"):
-            payload, meta = res
-            res = (self._unpack_results(payload, meta) if meta is not None
-                   else jax.tree.map(np.asarray, payload))
+            res = self._tto.fetch(res)
 
         # OOD pose sanity check (reference optimizer_nuscenes.py:656-660): the
         # feed-forward-refined pose's up axis (rotation z column) deviating
@@ -448,9 +401,16 @@ class TTODriver:
 
         for i, (sample, idx) in enumerate(zip(samples, idxs)):
             log_idx, ann, cam = self._log_idx(sample, idx)
-            self.optimized_shapecodes.setdefault(ann, {})[cam] = res["shapecodes_saved"][i]
-            self.optimized_texturecodes.setdefault(ann, {})[cam] = res["texturecodes_saved"][i]
-            self.optimized_poses.setdefault(ann, {})[cam] = res["poses_saved"][i]
+            # np.array COPIES: the fetched leaves are zero-copy views into the
+            # batch's single packed transfer buffer — storing raw slices in
+            # these long-lived dicts would pin the whole buffer (all curves /
+            # trajectories, several MB with emit_code_curves) per batch
+            self.optimized_shapecodes.setdefault(ann, {})[cam] = np.array(
+                res["shapecodes_saved"][i])
+            self.optimized_texturecodes.setdefault(ann, {})[cam] = np.array(
+                res["texturecodes_saved"][i])
+            self.optimized_poses.setdefault(ann, {})[cam] = np.array(
+                res["poses_saved"][i])
             self.psnr_eval[log_idx] = res["psnr"][i].tolist()
             self.R_eval[log_idx] = res["rot_err"][i].tolist()
             self.T_eval[log_idx] = res["trans_err"][i].tolist()
@@ -701,11 +661,12 @@ class TTODriver:
         # variables passed as a traced ARG, not closed over: closures bake
         # the full model params into the program as MLIR constants (can
         # crash the backend and defeats mesh sharding) — same contract as
-        # _tto_jit / _cross_view_jit
-        mv_jit = jax.jit(lambda v, b, k: run_multiview_tto(
+        # _tto / _cross_view_fn. packed_jit: one dispatch + one fetch round
+        # trip per instance.
+        mv_fn = packed_jit(lambda v, b, k: run_multiview_tto(
             self.model, v, b, self.mean_shape, self.mean_texture,
             self.cfg, k, opt_pose=opt_pose, opt_model=opt_model,
-            slack_tex=slack_tex))
+            slack_tex=slack_tex), label="multiview_tto")
 
         for ins, idx_list in by_ins.items():
             idx_list = idx_list[:v_max]
@@ -726,13 +687,14 @@ class TTODriver:
                     [1.0] * V + [0.0] * (v_max - V), jnp.float32),
             )
             self.key, k = jax.random.split(self.key)
-            res = self._fetch_tree(mv_jit(self.variables, batch, k))
+            res = mv_fn.call_and_fetch(self.variables, batch, k)
             # multiview codes are FLAT (n_code, latent) per instance — the
             # reference's own multiview schema (optimizer_nuscenes.py:89-90),
             # distinct from the single-view {ann: {cam: codes}} nesting;
-            # the result writers accept both
-            self.optimized_shapecodes[ins] = res["shapecodes_saved"]
-            self.optimized_texturecodes[ins] = res["texturecodes_saved"]
+            # the result writers accept both. np.array: copy out of the
+            # packed transfer buffer (see _postprocess_batch)
+            self.optimized_shapecodes[ins] = np.array(res["shapecodes_saved"])
+            self.optimized_texturecodes[ins] = np.array(res["texturecodes_saved"])
             self.psnr_eval[ins] = res["psnr"].tolist()
             print(f"  multiview {ins} ({V} views): psnr "
                   f"{res['psnr'][0]:.2f} -> {res['psnr'][-1]:.2f}")
@@ -740,15 +702,15 @@ class TTODriver:
         return self.results_dict()
 
     # ------------------------------------------------- cross-view evaluation
-    def _cross_view_jit(self):
+    def _cross_view_fn(self):
         """One jitted program computing an instance's FULL cross-view metric
         matrices: (n_code, n_v, n_v) PSNR + lidar-depth error in a single
         dispatch (nested vmap over code-iters x source codes x target views).
         The reference — and the round-1 version here — dispatched one render
         per (code-iter, row, col) cell: 6*n_v^2 round-trips per instance at
         ~0.4 s each through this environment's tunnel."""
-        if hasattr(self, "_cross_jit"):
-            return self._cross_jit
+        if hasattr(self, "_cross_pf"):
+            return self._cross_pf
 
         from supnerf_tpu.geometry.boxes import invert_pose
         from supnerf_tpu.ops.volume_render import masked_psnr
@@ -796,8 +758,8 @@ class TTODriver:
                          tc.reshape(n_code * n_v, -1)))
             return pm.reshape(n_code, n_v, n_v), dm.reshape(n_code, n_v, n_v)
 
-        self._cross_jit = jax.jit(matrices)
-        return self._cross_jit
+        self._cross_pf = packed_jit(matrices, label="cross_view")
+        return self._cross_pf
 
     def eval_cross_view(self, vis_iter=None):
         """Render each instance's saved codes into every other view of the same
@@ -810,7 +772,7 @@ class TTODriver:
 
         psnr_mat_per_ins = {}
         depth_mat_per_ins = {}
-        cross_jit = self._cross_view_jit()
+        cross_fn = self._cross_view_fn()
 
         for ins, idx_list in by_ins.items():
             views = []
@@ -843,11 +805,11 @@ class TTODriver:
                 arr = np.stack([p[kk] for p in prepped])
                 return jnp.asarray(arr if dt is None else arr.astype(dt))
 
-            pm, dm = self._fetch_tree(cross_jit(
+            pm, dm = cross_fn.call_and_fetch(
                 self.variables, jnp.asarray(sc), jnp.asarray(tc),
                 col("obj_pose_gt"), col("K"), col("roi_nerf", np.float32),
                 col("wlh"), col("rgb_tgt"), col("occ_tgt"), col("lidar_u"),
-                col("lidar_v"), col("lidar_depth"), col("lidar_valid")))
+                col("lidar_v"), col("lidar_depth"), col("lidar_valid"))
             pm = pm[:, :n_v, :n_v]
             dm = dm[:, :n_v, :n_v]
             psnr_mat_per_ins[ins] = [pm[ci] for ci in range(pm.shape[0])]

@@ -16,7 +16,7 @@ TINY_HP = {"shape_blocks": 1, "texture_blocks": 1, "latent_dim": 32,
            "pose_shortcut": 1, "pred_wlh": 0}
 
 
-def _make_batch(n=4, n_rays=64, n_samples=8, in_img_sz=32):
+def _make_batch(n=4, n_rays=64, n_samples=8, in_img_sz=32, compact=False):
     rng = np.random.default_rng(0)
     rows = []
     for i in range(n):
@@ -26,7 +26,7 @@ def _make_batch(n=4, n_rays=64, n_samples=8, in_img_sz=32):
             jnp.asarray(s["cam_intrinsics"]), jnp.asarray(s["rois"], jnp.float32)))
         rows.append(prepare_train_sample(
             s, n_rays=n_rays, n_samples=n_samples, in_img_sz=in_img_sz,
-            rng=rng, src_pose=src, code_idx=i % 3))
+            rng=rng, src_pose=src, code_idx=i % 3, compact_rays=compact))
     batch = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
     return TrainBatch(**{k: jnp.asarray(v) for k, v in batch.items()})
 
@@ -50,6 +50,41 @@ def test_train_step_runs_and_updates():
         assert k in metrics
     # the model is actually learning something on the repeated batch
     assert losses[-1] < losses[0]
+
+
+def test_compact_rays_match_expanded():
+    """Compact (B, R, 3) ray upload + device-side expansion
+    (train_step.expand_compact_rays) must reproduce the host-expanded
+    (B, R, S, 3) batch: same rng stream -> same rays, and the expansion
+    xyz = o/diag + v*z/diag differs from (o + v*z)/diag only by fp
+    reassociation."""
+    model = build_model("supnerf", TINY_HP)
+    cfg = TrainConfig(latent_dim=32, im_enc_rate=1.0)
+    state = init_train_state(model, jax.random.PRNGKey(0), n_instances=3,
+                             cfg=cfg, img_size=32)
+    step = make_train_step(model, cfg, donate=False)
+    b_full = _make_batch()
+    b_compact = _make_batch(compact=True)
+    assert b_compact.xyz.ndim == 3 and b_full.xyz.ndim == 4
+
+    from supnerf_tpu.training.train_step import expand_compact_rays
+
+    expanded = expand_compact_rays(b_compact)
+    np.testing.assert_allclose(np.asarray(expanded.xyz),
+                               np.asarray(b_full.xyz), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(expanded.viewdir),
+                               np.asarray(b_full.viewdir), rtol=1e-6, atol=1e-7)
+
+    s1, m1 = step(state, b_full, jax.random.PRNGKey(5))
+    s2, m2 = step(state, b_compact, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(m1["loss_total"]),
+                               float(m2["loss_total"]), rtol=1e-4)
+    # loose: Adam normalizes near-zero grads, amplifying the expansion's fp
+    # reassociation noise on a handful of elements
+    p1, p2 = jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-5)
 
 
 def test_train_step_data_parallel_mesh():

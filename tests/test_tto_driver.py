@@ -283,38 +283,39 @@ def test_driver_run_multiview_and_result_schemas(tmp_path):
 
 
 def test_packed_result_fetch_round_trip():
-    """The driver's single-round-trip result transfer (_pack_results /
-    _unpack_results) must reproduce the result pytree bit-exactly: through
-    the TPU tunnel every device->host transfer costs a fixed ~0.4 s, so the
-    ~14-leaf TTO result dict is bitcast+concatenated into ONE uint32 buffer
-    on device and reinterpreted on the host (VALIDATION.md round-3)."""
-    import types
-
-    import jax
+    """The single-dispatch single-round-trip result transfer
+    (utils.transfer.packed_jit) must reproduce the result pytree bit-exactly:
+    through the TPU tunnel every dispatch and every device->host transfer
+    costs a fixed ~0.4 s, so the packing is fused into the TAIL of the jitted
+    program (one dispatch) and all 4-byte leaves come back as ONE uint32
+    buffer reinterpreted on the host. Non-4-byte leaves are fetched
+    individually with a one-time warning; zero-size leaves never transfer."""
     import jax.numpy as jnp
     import numpy as np
 
-    from supnerf_tpu.tto.driver import TTODriver
+    from supnerf_tpu.utils.transfer import packed_jit
 
     tree = {
-        "f32": jnp.asarray(np.random.default_rng(0).normal(size=(3, 5, 2)),
-                           jnp.float32),
-        "neg": jnp.asarray([-1.5, 0.0, np.inf], jnp.float32),
-        "i32": jnp.arange(-4, 3, dtype=jnp.int32).reshape(7),
-        "u32": jnp.asarray([0, 1, 2 ** 31], jnp.uint32),
-        "scalar": jnp.float32(3.25),
+        "f32": np.asarray(np.random.default_rng(0).normal(size=(3, 5, 2)),
+                          np.float32),
+        "neg": np.asarray([-1.5, 0.0, np.inf], np.float32),
+        "i32": np.arange(-4, 3, dtype=np.int32).reshape(7),
+        "u32": np.asarray([0, 1, 2 ** 31], np.uint32),
+        "scalar": np.float32(3.25),
+        "flag": np.asarray([True, False]),           # 1-byte: unpacked path
+        "empty": np.zeros((0, 4), np.float32),       # no transfer at all
     }
-    host = types.SimpleNamespace(_pack_fn=None)
-    payload, meta = TTODriver._pack_results(host, tree)
-    assert meta is not None and payload.dtype == jnp.uint32
-    out = TTODriver._unpack_results(payload, meta)
+
+    pf = packed_jit(lambda t: {k: v for k, v in t.items()},
+                    label="test_pack")
+    out_dev = pf({k: jnp.asarray(v) for k, v in tree.items()})
+    packed, others = out_dev
+    assert packed.dtype == jnp.uint32
+    assert len(others) == 1                           # only the bool leaf
+    out = pf.fetch(out_dev)
     assert set(out) == set(tree)
     for k in tree:
         a, b = np.asarray(tree[k]), out[k]
         assert b.dtype == a.dtype and b.shape == a.shape
         np.testing.assert_array_equal(a, b)
-
-    # non-4-byte leaves must fall back to the raw tree (meta None)
-    tree_bf16 = {"x": jnp.ones((2, 2), jnp.bfloat16)}
-    payload, meta = TTODriver._pack_results(host, tree_bf16)
-    assert meta is None and payload is tree_bf16
+    assert pf._warned                                 # odd leaf warned once
