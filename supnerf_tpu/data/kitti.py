@@ -54,7 +54,8 @@ class KittiData:
                  add_pose_err: int = 0, init_rot_err: float = 0.2,
                  init_trans_err: float = 0.01, rand_angle_lim: float = 0.0,
                  pred_box2d: bool = False, box2d_rz_ratio: float = 1.2,
-                 data_dir: str | None = None, seed: int = 0):
+                 data_dir: str | None = None, seed: int = 0,
+                 debug: bool = False, debug_dir: str = "debug_vis"):
         ds_cfg = hpams["dataset"]
         self.cat = ds_cfg.get(f"{self.NAME}_cat", "Car")
         self.seg_cat = ds_cfg.get("seg_cat", "car")
@@ -72,6 +73,10 @@ class KittiData:
         self.pred_box2d = pred_box2d
         self.box2d_rz_ratio = box2d_rz_ratio
         self.out_gt_depth = out_gt_depth
+        # debug=True writes a per-sample QA overlay panel (reference
+        # data_kitti.py debug rendering; headless here)
+        self.debug = debug
+        self.debug_dir = debug_dir
         self.rng = np.random.default_rng(seed)
 
         sub = "training" if split != "test" else "testing"
@@ -186,6 +191,9 @@ class KittiData:
             "instoken": f"{self.NAME}_{data_idx}_{obj_idx}",
             "anntoken": f"{data_idx}_{obj_idx}",
             "cam_ids": "CAM_FRONT" if self.NAME == "waymo" else "CAM2",
+            # label occlusion level, for the dataset-statistics walkthrough
+            # (reference data_kitti.py:634-637 histograms it)
+            "occlusion": float(obj.occlusion),
         }
         sample["obj_poses_w_err"] = self._pose_with_err(sample, K, obj_pose,
                                                         ins_masks, tgt_id,
@@ -195,6 +203,16 @@ class KittiData:
         else:
             sample["lidar_u"] = sample["lidar_v"] = sample["lidar_depth"] = \
                 np.zeros(0, np.float32)
+        if self.debug:
+            from supnerf_tpu.data.debug import debug_sample_panel
+
+            lidar_cnt = self.sample_attr[data_idx][obj_idx].get("lidar_cnt", -1)
+            print(f"        obj {data_idx}/{obj_idx}: occlusion "
+                  f"{obj.occlusion}, lidar pts cnt: {lidar_cnt}")
+            # poses here are already in the KITTI object frame; the overlay
+            # projects with the kitti corner convention
+            debug_sample_panel(sample, is_kitti=True, save_path=os.path.join(
+                self.debug_dir, f"{self.NAME}_{data_idx}_{obj_idx}.png"))
         return sample
 
     def _pose_with_err(self, sample, K, obj_pose, ins_masks, tgt_id, data_idx, calib):

@@ -57,7 +57,8 @@ class NuScenesData:
                  pred_box2d: bool = False, box2d_rz_ratio: float = 1.2,
                  num_subset: int = 1, id_subset: int = 0,
                  data_dir: str | None = None, seg_dir: str | None = None,
-                 nusc_version: str | None = None, seed: int = 0):
+                 nusc_version: str | None = None, seed: int = 0,
+                 debug: bool = False, debug_dir: str = "debug_vis"):
         from nuscenes.nuscenes import NuScenes
 
         ds_cfg = hpams["dataset"]
@@ -78,6 +79,10 @@ class NuScenesData:
         self.pred_box2d = pred_box2d
         self.box2d_rz_ratio = box2d_rz_ratio
         self.out_gt_depth = out_gt_depth
+        # debug=True writes a per-sample QA overlay panel (reference
+        # data_nuscenes.py:660-711 renders it interactively)
+        self.debug = debug
+        self.debug_dir = debug_dir
         self.rng = np.random.default_rng(seed)
 
         key = "train_data_dir" if split == "train" else "test_data_dir"
@@ -263,6 +268,19 @@ class NuScenesData:
         else:
             sample["lidar_u"] = sample["lidar_v"] = sample["lidar_depth"] = \
                 np.zeros(0, np.float32)
+        if self.debug:
+            from supnerf_tpu.data.debug import debug_sample_panel
+
+            lidar_cnt = self.sample_attr[anntoken][cam].get("lidar_cnt", -1)
+            print(f"        tgt instance id: {tgt_id}, lidar pts cnt: {lidar_cnt} ")
+            try:
+                vis_rec = self.nusc.get(
+                    "visibility", ann["visibility_token"])
+                print(f"        Visibility: {vis_rec}")
+            except (KeyError, AttributeError):
+                pass  # devkit builds without a visibility table
+            debug_sample_panel(sample, save_path=os.path.join(
+                self.debug_dir, f"{anntoken}_{cam}.png"))
         return sample
 
     def _pose_with_err(self, sample, K, obj_pose, masks, tgt_id, data_path):

@@ -188,3 +188,35 @@ def test_common_helpers():
     masks[1][0, 0] = 1
     occ = common.get_mask_occ_from_ins(masks, 0)
     assert occ[1, 1] == 1 and occ[0, 0] == 0 and occ[3, 3] == -1
+
+
+def test_debug_panel_and_statistics(kitti_root, tmp_path):
+    """Dataset QA parity (reference data_kitti.py debug rendering + __main__
+    stats blocks :606-665): debug=True writes a per-sample overlay panel, and
+    dataset_statistics produces wlh/dist stats and an occlusion histogram."""
+    from supnerf_tpu.data.debug import dataset_statistics
+
+    dbg_dir = str(tmp_path / "dbg")
+    ds = KittiData(HPAMS, split="val", add_pose_err=1, debug=True,
+                   debug_dir=dbg_dir)
+    s = ds[0]
+    assert s["occlusion"] == 0.0
+    panels = os.listdir(dbg_dir)
+    assert len(panels) == 1 and panels[0].endswith(".png")
+    import imageio.v2 as imageio
+
+    panel = imageio.imread(os.path.join(dbg_dir, panels[0]))
+    assert panel.shape == (370, 2400, 3)     # [image | mask] side by side
+    # the error box (add_pose_err=1) draws red pixels the GT-only panel lacks
+    assert (panel[..., 0].astype(int) - panel[..., 1].astype(int) > 120).any()
+
+    ds.debug = False
+    stats_dir = str(tmp_path / "stats")
+    stats = dataset_statistics(ds, stats_dir, print_every=0)
+    assert stats["n_samples"] == 2
+    assert stats["level_label"] == "Occlusion"
+    np.testing.assert_allclose(stats["wlh_mean"], [1.9, 4.4, 1.6], atol=1e-5)
+    assert stats["dist_mean"] == pytest.approx(np.linalg.norm([0.5, 0.8, 15.0]),
+                                               rel=0.1)
+    files = set(os.listdir(stats_dir))
+    assert "kitti_dist_hist.pdf" in files and "kitti_occ_hist.pdf" in files

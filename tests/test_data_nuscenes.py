@@ -174,3 +174,30 @@ def test_tto_driver_runs_on_nuscenes_fixture(nusc_root, tmp_path):
     res = drv.run()
     assert res["num_obj"] == 2
     assert all(np.isfinite(v).all() for v in res["psnr_eval"].values())
+
+
+def test_debug_panel_and_statistics(nusc_root, tmp_path):
+    """Dataset QA parity (reference data_nuscenes.py:660-711 debug rendering,
+    :1010-1092 stats walkthrough), headless over the devkit shim."""
+    import os
+
+    from supnerf_tpu.data.debug import dataset_statistics
+
+    dbg_dir = str(tmp_path / "dbg")
+    ds = _make(nusc_root, split="train", add_pose_err=2, debug=True,
+               debug_dir=dbg_dir)
+    s = ds[0]
+    panels = os.listdir(dbg_dir)
+    assert len(panels) == 1 and panels[0].endswith(".png")
+    import imageio.v2 as imageio
+
+    panel = imageio.imread(os.path.join(dbg_dir, panels[0]))
+    assert panel.shape == (s["imgs"].shape[0], 2 * s["imgs"].shape[1], 3)
+
+    ds.debug = False
+    stats_dir = str(tmp_path / "stats")
+    stats = dataset_statistics(ds, stats_dir, print_every=0)
+    assert stats["n_samples"] == len(ds)
+    assert np.asarray(stats["wlh_mean"]).shape == (3,)
+    assert os.path.exists(os.path.join(stats_dir, "nuscenes_dist_hist.pdf")) or \
+        any(f.endswith("_dist_hist.pdf") for f in os.listdir(stats_dir))
