@@ -16,6 +16,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite runs on a 1-CPU host where XLA
+# compiles (incl. interpret-mode Pallas programs) dominate wall time; repeat
+# runs skip them entirely. Keyed by program+platform, so code changes simply
+# miss and recompile. Directory is gitignored.
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -127,13 +127,15 @@ def test_lr_schedule_halving():
 def test_train_step_pallas_field_matches_flax():
     """cfg.field_impl='pallas' (fused fwd+bwd train kernels incl. decoder
     weight grads) must reproduce the flax step: same losses and same updated
-    parameters after a step (f32 interpret mode on CPU)."""
+    parameters after a step (f32 interpret mode on CPU). Shapes are one tile
+    minimum — the parity pinned here is shape-independent and interpret-mode
+    compile+run on the 1-CPU CI host dominates the suite otherwise."""
     model = build_model("supnerf", TINY_HP)
-    batch = _make_batch()
+    batch = _make_batch(n=2, n_rays=32)
     outs = {}
     for impl in ("flax", "pallas"):
         cfg = TrainConfig(latent_dim=32, im_enc_rate=1.0, field_impl=impl)
-        state = init_train_state(model, jax.random.PRNGKey(0), n_instances=3,
+        state = init_train_state(model, jax.random.PRNGKey(0), n_instances=2,
                                  cfg=cfg, img_size=32)
         step = make_train_step(model, cfg, donate=False)
         state, metrics = step(state, batch, jax.random.PRNGKey(5))
@@ -165,7 +167,9 @@ def test_train_step_pallas_field_on_mesh_partitioned():
 
     model = build_model("supnerf", TINY_HP)
     mesh = make_mesh(8)
-    batch = _make_batch(n=8)
+    n, n_rays, n_samples = 8, 32, 8
+    batch = _make_batch(n=n, n_rays=n_rays, n_samples=n_samples)
+    pts = n * n_rays * n_samples        # full global point batch
     outs = {}
     for impl in ("flax", "pallas"):
         cfg = TrainConfig(latent_dim=32, field_impl=impl)
@@ -175,13 +179,21 @@ def test_train_step_pallas_field_on_mesh_partitioned():
         state_r = replicate_pytree(state, mesh)
         batch_s = shard_pytree_batch(batch, mesh)
         if impl == "pallas":
-            txt = jax.jit(step).lower(
-                state_r, batch_s, jax.random.PRNGKey(0)).compile().as_text()
-            # 4096 = full 8-object point batch; its presence in an all-gather
-            # means the partitioner replicated the field call
+            # compile ONCE and reuse the executable for both the HLO check
+            # and the step (re-jitting compiled 247 s of interpret-mode
+            # shard_map a second time on the 1-CPU CI host)
+            compiled = step.lower(
+                state_r, batch_s, jax.random.PRNGKey(0)).compile()
+            txt = compiled.as_text()
+            # the full point batch showing up in an all-gather means the
+            # partitioner replicated the field custom call
             assert not [l for l in txt.splitlines()
-                        if "all-gather" in l and re.search(r"= f32\[4096", l)]
-        new_state, metrics = step(state_r, batch_s, jax.random.PRNGKey(0))
+                        if "all-gather" in l
+                        and re.search(rf"= f32\[{pts}", l)]
+            new_state, metrics = compiled(state_r, batch_s,
+                                          jax.random.PRNGKey(0))
+        else:
+            new_state, metrics = step(state_r, batch_s, jax.random.PRNGKey(0))
         outs[impl] = (new_state, float(metrics["loss_total"]))
     np.testing.assert_allclose(outs["pallas"][1], outs["flax"][1], rtol=1e-5)
     for a, b in zip(jax.tree.leaves(outs["flax"][0].params),
