@@ -72,6 +72,14 @@ REFERENCE_TTO_OBJ_PER_MIN_EST = 6.0
 
 from supnerf_tpu.data.synthetic import PUBLISHED_NET_HP as _PUBLISHED_HP
 
+_T0 = time.monotonic()
+
+
+def _t(label: str):
+    """Stage-phase timestamp on stderr (stdout carries only the JSON line)."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {label}", file=sys.stderr,
+          flush=True)
+
 _SMOKE_NET_HP = {
     "shape_blocks": 1, "texture_blocks": 1, "pose_blocks": 1,
     "regress_blocks": 1, "latent_dim": 32, "num_xyz_freq": 10,
@@ -130,56 +138,99 @@ def _make_tto_driver(save_dir, n_objects, bs):
     return drv
 
 
+def _bench_tto_device(drv):
+    """DEVICE-only TTO throughput on a prepped batch: timed dispatch to
+    completion, no host bookkeeping (the product leg measures that)."""
+    B = drv.batch_size
+    _t("tto: host prep")
+    prepped, _ = drv._prep_batch(list(range(B)))
+    stacked = {k: np.stack([r[k] for r in prepped]) for k in prepped[0]}
+    from supnerf_tpu.tto.core import ObjectBatch
+
+    batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in stacked.items()})
+    # warmup/compile with a different key (the remote execution layer can
+    # cache identical executions)
+    _t("tto: trace+compile (warmup call)")
+    out = drv._tto(drv.variables, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(out[0])
+    _t("tto: timed run")
+    t0 = time.perf_counter()
+    out = drv._tto(drv.variables, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+    _t("tto: done")
+    return B / dt * 60
+
+
+def _bench_tto_product(drv, warm: bool):
+    """PRODUCT-path TTO throughput: TTODriver.run() end to end — host prep,
+    pose-error injection, dispatch pipeline, result fetch + bookkeeping,
+    pickles — over a synthetic dataset (objects/min). The driver pipeline
+    overlaps prep and bookkeeping with the device steps; this measures what
+    a user actually gets vs the device-only number."""
+    import contextlib
+
+    from supnerf_tpu.data.synthetic import SyntheticTTODataset
+    from supnerf_tpu.utils.profiling import PhaseTimer
+
+    n_obj = int(os.environ.get("BENCH_PRODUCT_OBJECTS", "4" if SMOKE else "64"))
+    # driver progress prints go to stderr: bench stdout is ONE JSON line
+    with contextlib.redirect_stdout(sys.stderr):
+        if not warm:
+            _t("product: warmup run")
+            drv.run()     # compile + first dispatch + host-path imports
+        _t("product: timed run")
+        drv.dataset = SyntheticTTODataset(n_obj, seed0=100)
+        drv.timer = PhaseTimer()    # phase report covers ONLY the timed run
+        t0 = time.perf_counter()
+        drv.run()
+        dt = time.perf_counter() - t0
+    _t("product: done")
+    return n_obj / dt * 60
+
+
 def bench_tto():
-    """DEVICE-only test-time-optimization throughput: objects/min through the
-    published pipeline (encode + refine + 100 Adam iterations at 1024 rays x
-    64 samples) as one jitted program per object batch — timed dispatch to
-    completion, no host bookkeeping (the product stage measures that)."""
+    import tempfile
+
+    B = int(os.environ.get("BENCH_OBJECTS", "2" if SMOKE else "16"))
+    with tempfile.TemporaryDirectory() as tmp:
+        return _bench_tto_device(_make_tto_driver(tmp, B, B))
+
+
+def bench_tto_product():
+    import contextlib
+    import tempfile
+
+    bs = int(os.environ.get("BENCH_OBJECTS", "2" if SMOKE else "16"))
+    with tempfile.TemporaryDirectory() as tmp:
+        drv = _make_tto_driver(tmp, bs, bs)
+        with contextlib.redirect_stdout(sys.stderr):
+            drv.run()     # warmup: compile + first dispatch
+        return _bench_tto_product(drv, warm=True)
+
+
+def bench_tto_pair():
+    """tto AND product in ONE process: the model init, the program trace, and
+    the compile are shared — a separate subprocess per leg re-paid ~6 min of
+    per-process setup (backend init + init compiles + tracing the 100-iter
+    vmapped TTO program on this 1-CPU host) for the same numbers."""
+    import contextlib
     import tempfile
 
     B = int(os.environ.get("BENCH_OBJECTS", "2" if SMOKE else "16"))
     with tempfile.TemporaryDirectory() as tmp:
         drv = _make_tto_driver(tmp, B, B)
-        prepped, _ = drv._prep_batch(list(range(B)))
-        stacked = {k: np.stack([r[k] for r in prepped]) for k in prepped[0]}
-        from supnerf_tpu.tto.core import ObjectBatch
+        tto_v = _bench_tto_device(drv)
+        # the device program is warm; one small product run warms the
+        # host-side bookkeeping paths (pickle/imports) before timing
+        from supnerf_tpu.data.synthetic import SyntheticTTODataset
 
-        batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in stacked.items()})
-        # warmup/compile with a different key (the remote execution layer can
-        # cache identical executions)
-        out = drv._tto(drv.variables, batch, jax.random.PRNGKey(0))
-        jax.block_until_ready(out[0])
-        t0 = time.perf_counter()
-        out = drv._tto(drv.variables, batch, jax.random.PRNGKey(1))
-        jax.block_until_ready(out[0])
-        dt = time.perf_counter() - t0
-    return B / dt * 60
-
-
-def bench_tto_product():
-    """PRODUCT-path TTO throughput: TTODriver.run() end to end — host prep,
-    pose-error injection, dispatch pipeline, result fetch + bookkeeping,
-    pickles — over a synthetic dataset (objects/min). The driver pipeline
-    overlaps prep and bookkeeping with the device steps; this measures what
-    a user actually gets vs bench_tto's device-only number."""
-    import contextlib
-    import tempfile
-
-    from supnerf_tpu.data.synthetic import SyntheticTTODataset
-
-    n_obj = int(os.environ.get("BENCH_PRODUCT_OBJECTS", "4" if SMOKE else "64"))
-    bs = int(os.environ.get("BENCH_OBJECTS", "2" if SMOKE else "16"))
-
-    with tempfile.TemporaryDirectory() as tmp:
-        drv = _make_tto_driver(tmp, bs, bs)
-        # driver progress prints go to stderr: bench stdout is ONE JSON line
+        drv.dataset = SyntheticTTODataset(B, seed0=100)
         with contextlib.redirect_stdout(sys.stderr):
-            drv.run()     # warmup: compile + first dispatch
-            drv.dataset = SyntheticTTODataset(n_obj, seed0=100)
-            t0 = time.perf_counter()
             drv.run()
-            dt = time.perf_counter() - t0
-    return n_obj / dt * 60
+        prod_v = _bench_tto_product(drv, warm=True)
+        print(drv.timer.report(), file=sys.stderr)
+    return tto_v, prod_v
 
 
 def bench_render():
@@ -257,10 +308,13 @@ def bench_render():
 
     # warmup / compile (different inputs from the timed call: the remote
     # execution layer in this environment can cache identical executions)
+    _t("render: trace+compile (warmup call)")
     jax.block_until_ready(timed_loop(keys, shapecodes + 0.01, texturecodes))
+    _t("render: timed run")
     t0 = time.perf_counter()
     jax.block_until_ready(timed_loop(keys, shapecodes, texturecodes))
     dt = time.perf_counter() - t0
+    _t("render: done")
     return B * IM_SZ * IM_SZ * n_iters / dt
 
 
@@ -300,11 +354,14 @@ def bench_train():
 
         return jax.lax.fori_loop(0, n_iters, body, state)
 
+    _t("train: trace+compile (warmup call)")
     jax.block_until_ready(loop(state, batch, jax.random.PRNGKey(0)).niter)
+    _t("train: timed run")
     t0 = time.perf_counter()
     out = loop(state, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(out.niter)
     dt = time.perf_counter() - t0
+    _t("train: done")
     steps_per_sec = n_iters / dt
     return steps_per_sec, steps_per_sec * B * R * S
 
@@ -330,6 +387,7 @@ def bench_train_product():
 
     hp = _bench_hparams()
     model = build_model("supnerf", hp["net_hyperparams"])
+    _t("train_product: building synthetic dataset")
     ds = CyclingDataset(SyntheticTTODataset(n_base, seed0=500), B * steps)
 
     with tempfile.TemporaryDirectory() as tmp, \
@@ -337,20 +395,35 @@ def bench_train_product():
         trainer = UnifiedTrainer(model, hp, ds, tmp, batch_size=B,
                                  field_impl=_field_impl(), log_writer=False,
                                  check_iter=10 ** 9, seed=0)
+        _t("train_product: warmup epoch (trace+compile)")
         trainer.training_epoch(num_workers=workers)   # warmup epoch: compile
         trainer.nepoch = 1
+        _t("train_product: timed epoch")
         t0 = time.perf_counter()
         trainer.training_epoch(num_workers=workers)
         dt = time.perf_counter() - t0
+    _t("train_product: done")
     return steps / dt
+
+
+def bench_train_pair():
+    """train AND train_product in ONE process (shared backend init and
+    disk-cached init programs; see bench_tto_pair)."""
+    sps, peps = bench_train()
+    prod = bench_train_product()
+    return sps, peps, prod
 
 
 # --------------------------------------------------------------- orchestrator
 
-STAGES = ("render", "tto", "train", "product", "train_product")
-# fraction of the global deadline each stage may consume at most
+STAGES = ("render", "tto_pair", "train_pair")
+# fraction of the global deadline each stage may consume at most. Paired
+# stages (tto+product, train+train_product) share one subprocess because the
+# per-process setup (backend init + init compiles + tracing the big programs
+# on this 1-CPU host) costs minutes and dwarfs the timed runs.
 _STAGE_CAP_FRAC = {"render": 0.40, "tto": 0.45, "train": 0.40,
-                   "product": 0.55, "train_product": 0.55}
+                   "product": 0.55, "train_product": 0.55,
+                   "tto_pair": 0.60, "train_pair": 0.60}
 _RESERVE_S = 20.0      # always left for assembling + printing the JSON line
 _MIN_STAGE_S = 45.0
 
@@ -396,11 +469,24 @@ def _assemble(results: dict, failures: dict, skipped: list,
         "deadline_s": deadline,
         "smoke": SMOKE,
     }
+    if "tto_pair" in results:
+        r = results["tto_pair"]
+        extra["tto_objects_per_min_per_chip"] = r["value"]
+        extra["tto_vs_serial_reference_estimate"] = r["vs_baseline"]
+        extra["tto_product_objects_per_min_per_chip"] = \
+            r["extra"]["tto_product_objects_per_min_per_chip"]
     if "tto" in results:
         extra["tto_objects_per_min_per_chip"] = results["tto"]["value"]
         extra["tto_vs_serial_reference_estimate"] = results["tto"]["vs_baseline"]
     if "product" in results:
         extra["tto_product_objects_per_min_per_chip"] = results["product"]["value"]
+    if "train_pair" in results:
+        r = results["train_pair"]
+        extra["train_steps_per_sec_per_chip"] = r["value"]
+        extra["train_point_evals_per_sec"] = \
+            r["extra"]["train_point_evals_per_sec"]
+        extra["train_product_steps_per_sec_per_chip"] = \
+            r["extra"]["train_product_steps_per_sec_per_chip"]
     if "train" in results:
         extra["train_steps_per_sec_per_chip"] = results["train"]["value"]
         extra["train_point_evals_per_sec"] = \
@@ -416,7 +502,8 @@ def _assemble(results: dict, failures: dict, skipped: list,
         return {"metric": "render_rays_per_sec_per_chip", "value": r["value"],
                 "unit": "rays/s", "vs_baseline": r["vs_baseline"],
                 "extra": extra}
-    for stage in ("tto", "train", "product", "train_product"):
+    for stage in ("tto_pair", "tto", "train_pair", "train", "product",
+                  "train_product"):
         if stage in results:
             r = results[stage]
             return {"metric": r["metric"], "value": r["value"],
@@ -496,6 +583,26 @@ def main():
             "value": round(v, 3), "unit": "steps/s", "vs_baseline": None,
             "extra": {"batch": int(os.environ.get(
                 "BENCH_TRAIN_BATCH", "2" if SMOKE else "48"))}}))
+        return
+    if mode == "tto_pair":
+        tto_v, prod_v = bench_tto_pair()
+        print(json.dumps({
+            "metric": "tto_objects_per_min_per_chip",
+            "value": round(tto_v, 2), "unit": "objects/min",
+            "vs_baseline": round(tto_v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
+            "extra": {
+                "tto_product_objects_per_min_per_chip": round(prod_v, 2),
+                "baseline_is_builder_estimate": True}}))
+        return
+    if mode == "train_pair":
+        sps, peps, prod = bench_train_pair()
+        print(json.dumps({
+            "metric": "train_steps_per_sec_per_chip", "value": round(sps, 3),
+            "unit": "steps/s", "vs_baseline": None,
+            "extra": {"train_point_evals_per_sec": round(peps, 1),
+                      "train_product_steps_per_sec_per_chip": round(prod, 3),
+                      "batch": int(os.environ.get(
+                          "BENCH_TRAIN_BATCH", "2" if SMOKE else "48"))}}))
         return
     run_all()
 

@@ -131,6 +131,7 @@ class TTODriver:
         from supnerf_tpu.utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()
+        self._rand_pose_jit = None  # batched mode-2 pose init (see _initial_poses)
         # the reference's non-BatchNorm encode path feeds a VARIABLE-size
         # keep-ratio crop (preprocess_img_keepratio(max_img_sz), e.g.
         # optimizer_nuscenes.py:179) — dynamic shapes this TPU pipeline does
@@ -264,9 +265,38 @@ class TTODriver:
             is_kitti=self.dataset_frame in ("kitti", "waymo"),
         ))
 
+    def _initial_poses(self, samples):
+        """Pose inits for a whole batch. Mode 2 runs as ONE jitted, vmapped
+        CPU call: per-object eager get_random_pose2 is ~70 Python primitive
+        binds each, and on a 1-CPU host inside a TPU-backend process that
+        per-op dispatch overhead (~3 s/batch of 16) was the product path's
+        critical-path item — the batched call is ~ms."""
+        if self.add_pose_err == 2 and len(samples) > 1:
+            if self._rand_pose_jit is None:
+                import functools
+
+                fn = functools.partial(
+                    pose_gen.get_random_pose2,
+                    angle_lim=self.rand_angle_lim, trans_lim=0.3,
+                    is_kitti=self.dataset_frame in ("kitti", "waymo"))
+                # pinned to the host CPU backend explicitly: this must never
+                # compile through the TPU tunnel (host prep is the pipeline's
+                # overlap-side work)
+                self._rand_pose_jit = jax.jit(jax.vmap(fn), backend="cpu")
+            keys = jax.random.split(self.prep_key, len(samples) + 1)
+            self.prep_key = keys[0]
+            Ks = np.stack([np.asarray(s["cam_intrinsics"], np.float32)
+                           for s in samples])
+            rois = np.stack([np.asarray(s["rois"], np.float32)
+                             for s in samples])
+            return list(np.asarray(self._rand_pose_jit(keys[1:], Ks, rois)))
+        return [self._initial_pose(s) for s in samples]
+
     def _prep_one(self, idx):
         sample = self.dataset[idx]
-        pose_init = self._initial_pose(sample)
+        return self._prep_sample(sample, self._initial_pose(sample)), sample
+
+    def _prep_sample(self, sample, pose_init):
         inputs = prepare_object_inputs(
             sample, in_img_sz=self.cfg.in_img_sz,
             render_im_sz=self.cfg.render_im_sz,
@@ -279,16 +309,19 @@ class TTODriver:
                 obj_pose_kitti2nusc(jnp.asarray(inputs["pose_init"])[None], h)[0])
             inputs["obj_pose_gt"] = np.asarray(
                 obj_pose_kitti2nusc(jnp.asarray(inputs["obj_pose_gt"])[None], h)[0])
-        return inputs, sample
+        return inputs
 
     def _prep_batch(self, idxs):
         # pin the prep math (random pose init, frame conversions — eager jnp)
-        # to the host CPU device: through this environment's TPU tunnel each
-        # eager op costs a ~0.4 s round trip PER OBJECT otherwise, which made
-        # host prep the product-path bottleneck
+        # to the host CPU device so nothing rides the TPU tunnel per object;
+        # the mode-2 random inits additionally batch into one jitted call
         cpu = jax.local_devices(backend="cpu")[0]
         with self.timer.phase("host_prep"), jax.default_device(cpu):
-            return tuple(zip(*[self._prep_one(i) for i in idxs]))
+            samples = [self.dataset[i] for i in idxs]
+            poses = self._initial_poses(samples)
+            prepped = [self._prep_sample(s, p)
+                       for s, p in zip(samples, poses)]
+            return prepped, samples
 
     def _prep_many(self, idxs):
         """CPU-pinned host prep for the multiview / cross-view paths (same
