@@ -20,7 +20,8 @@ class PrefetchBatcher:
     """
 
     def __init__(self, prepare_fn, collate_fn, indices, batch_size: int,
-                 num_workers: int = 8, prefetch: int = 2, drop_last: bool = True):
+                 num_workers: int = 8, prefetch: int = 2, drop_last: bool = True,
+                 batch_prepare_fn=None):
         self.prepare_fn = prepare_fn
         self.collate_fn = collate_fn
         self.indices = list(indices)
@@ -28,6 +29,11 @@ class PrefetchBatcher:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # batch_prepare_fn(idxs) -> rows: one call per batch instead of a
+        # per-row pool.map — lets the trainer run its pose-init / projection
+        # math as ONE jitted CPU call per batch (on a 1-CPU host the per-row
+        # eager dispatch dominates and thread workers cannot parallelize it)
+        self.batch_prepare_fn = batch_prepare_fn
 
     def __len__(self):
         n = len(self.indices) // self.batch_size
@@ -58,7 +64,10 @@ class PrefetchBatcher:
                         if stop.is_set():
                             return
                         idxs = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
-                        rows = list(pool.map(self.prepare_fn, idxs))
+                        if self.batch_prepare_fn is not None:
+                            rows = self.batch_prepare_fn(idxs)
+                        else:
+                            rows = list(pool.map(self.prepare_fn, idxs))
                         put(self.collate_fn(rows))
             except Exception as e:  # surfaced on the consumer side
                 put(e)

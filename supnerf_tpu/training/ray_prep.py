@@ -122,9 +122,14 @@ def prepare_train_sample(sample, *, n_rays: int = 1024, n_samples: int = 64,
                          shapenet_obj_cood: bool = True, sym_aug: bool = False,
                          rng=None, render_sz: int | None = None,
                          src_pose=None, code_idx: int = 0,
-                         compact_rays: bool = False):
+                         compact_rays: bool = False, tgt_uv=None):
     """Full host prep from a dataset sample dict (see data.synthetic /
-    data.nuscenes) to one TrainBatch row (stack rows then shard)."""
+    data.nuscenes) to one TrainBatch row (stack rows then shard).
+
+    tgt_uv: optional precomputed (2, 8) projected GT box corners — the
+    trainer passes these from ONE batched jitted CPU call; the per-row eager
+    corners_of_box+view_points chain here costs ~7 ms of Python dispatch per
+    sample on a 1-CPU host (see trainer._prepare_batch_rows)."""
     from supnerf_tpu.geometry.boxes import corners_of_box, view_points
     import jax.numpy as jnp
 
@@ -148,9 +153,12 @@ def prepare_train_sample(sample, *, n_rays: int = 1024, n_samples: int = 64,
     )
 
     tgt_pose = sample["obj_poses"]
-    tgt_uv = np.asarray(view_points(
-        corners_of_box(jnp.asarray(tgt_pose), jnp.asarray(wlh)),
-        jnp.asarray(sample["cam_intrinsics"]), normalize=True))[:2]
+    if tgt_uv is None:
+        tgt_uv = np.asarray(view_points(
+            corners_of_box(jnp.asarray(tgt_pose), jnp.asarray(wlh)),
+            jnp.asarray(sample["cam_intrinsics"]), normalize=True))[:2]
+    else:
+        tgt_uv = np.asarray(tgt_uv)[:2]
 
     return {
         "img_in": img_in,

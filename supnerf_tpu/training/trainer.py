@@ -95,6 +95,8 @@ class UnifiedTrainer:
         # blocking device_get costs one ~0.4 s tunnel round trip per step,
         # several times the step itself at the published batch
         self.metric_flush = max(int(metric_flush), 1)
+        self._pose_jit = None   # batched CPU pose init (see _prepare_batch_rows)
+        self._uv_jit = None     # batched CPU GT-corner projection
         # per-epoch checkpoints match the reference (save_models :387); >1
         # amortizes the full-state device_get on short epochs (the transfer
         # costs more than 16 train steps through the TPU tunnel)
@@ -160,15 +162,16 @@ class UnifiedTrainer:
         return s.get("instoken", str(i)) if isinstance(s, dict) else str(i)
 
     def _prepare_row(self, idx: int, salt: int = 0):
-        """Thread-safe: all randomness derives from (seed, salt, idx).
-        Pinned to the host CPU device — the random-pose init is eager jnp,
-        and on the TPU backend every op would be a per-sample device
-        dispatch (~0.4 s through this environment's tunnel)."""
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            return self._prepare_row_on_host(idx, salt)
+        """Single-row prep (tests / vis); the epoch loop uses the batched
+        path below. All randomness derives from (seed, salt, idx)."""
+        return self._prepare_batch_rows([idx], salt)[0]
 
-    def _prepare_row_on_host(self, idx: int, salt: int = 0):
-        rng = np.random.default_rng((self._base_seed, salt, int(idx)))
+    def _row_front(self, idx: int, rng):
+        """Per-row front half: dataset access, box2d aug, and the source-pose
+        decision. Returns (sample, src_pose or None, rand_seed or None) —
+        src_pose None means a mode-2 random pose drawn from rand_seed in the
+        batched jitted call. The rng draw ORDER (aug draws, then the seed
+        int, then prepare_train_sample's draws) defines the row's stream."""
         s = self.dataset[idx]
         if self.aug_box2d:
             # jitter the 2D box scale and position (reference
@@ -179,8 +182,6 @@ class UnifiedTrainer:
             roi_aug = np.asarray(roi_resize(s["rois"], rng.uniform(0.9, 1.1)))
             roi_aug = roi_aug + rng.uniform(-5, 5)
             s["rois"] = roi_aug.astype(np.int32)
-        K = jnp.asarray(s["cam_intrinsics"])
-        roi_f = jnp.asarray(np.asarray(s["rois"], np.float32))
         if getattr(self.dataset, "add_pose_err", None) in (1, 3) \
                 and "obj_poses_w_err" in s:
             # the refiner's SOURCE pose is the dataset's injected-error pose,
@@ -189,16 +190,58 @@ class UnifiedTrainer:
             # 1 (fixed-magnitude perturbation) and 3 (3rd-party detections)
             # govern the training error distribution instead of being
             # silently ignored.
-            src_pose = np.asarray(s["obj_poses_w_err"], np.float32)
-        else:
-            # mode 2 / default: a FRESH random pose per (seed, salt=epoch,
-            # idx) row — the reference's mode-2 dataset draws a new random
-            # pose on every access too; regenerating here (rather than using
-            # a cached sample's stored pose) keeps per-epoch diversity for
-            # datasets that precompute their samples (synthetic fixtures)
-            k = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-            src_pose = np.asarray(
-                pose_gen.get_random_pose2(k, K, roi_f, trans_lim=0.3))
+            return s, np.asarray(s["obj_poses_w_err"], np.float32), None
+        # mode 2 / default: a FRESH random pose per (seed, salt=epoch, idx)
+        # row — the reference's mode-2 dataset draws a new random pose on
+        # every access too; regenerating here keeps per-epoch diversity for
+        # datasets that precompute their samples (synthetic fixtures)
+        return s, None, int(rng.integers(0, 2**31))
+
+    def _prepare_batch_rows(self, idxs, salt: int = 0):
+        """One batch of TrainBatch rows. The eager-jnp per-row math (random
+        source pose, GT box-corner projection) runs as TWO batched jitted
+        CPU calls — per-row eager chains are ~90 Python primitive binds each
+        and dominated the product train path on a 1-CPU host (same fix as
+        TTODriver._initial_poses). Pinned to the host CPU so nothing rides
+        the TPU tunnel per sample."""
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            rngs = [np.random.default_rng((self._base_seed, salt, int(i)))
+                    for i in idxs]
+            fronts = [self._row_front(i, r) for i, r in zip(idxs, rngs)]
+            src = [f[1] for f in fronts]
+            rand_rows = [j for j, f in enumerate(fronts) if f[2] is not None]
+            if rand_rows:
+                if self._pose_jit is None:
+                    self._pose_jit = jax.jit(jax.vmap(
+                        lambda seed, K, roi: pose_gen.get_random_pose2(
+                            jax.random.PRNGKey(seed), K, roi, trans_lim=0.3)),
+                        backend="cpu")
+                seeds = np.asarray([fronts[j][2] for j in rand_rows], np.int32)
+                Ks = np.stack([np.asarray(fronts[j][0]["cam_intrinsics"],
+                                          np.float32) for j in rand_rows])
+                rois = np.stack([np.asarray(fronts[j][0]["rois"], np.float32)
+                                 for j in rand_rows])
+                poses = np.asarray(self._pose_jit(seeds, Ks, rois))
+                for p, j in zip(poses, rand_rows):
+                    src[j] = p.astype(np.float32)
+            if self._uv_jit is None:
+                self._uv_jit = jax.jit(jax.vmap(
+                    lambda pose, wlh, K: view_points(
+                        corners_of_box(pose, wlh), K, normalize=True)),
+                    backend="cpu")
+            poses_gt = np.stack([np.asarray(f[0]["obj_poses"], np.float32)
+                                 for f in fronts])
+            wlhs = np.stack([np.asarray(f[0]["wlh"], np.float32)
+                             for f in fronts])
+            Ks_all = np.stack([np.asarray(f[0]["cam_intrinsics"], np.float32)
+                               for f in fronts])
+            uvs = np.asarray(self._uv_jit(poses_gt, wlhs, Ks_all))
+            return [self._finish_row(f[0], rng, sp, uv, idx)
+                    for f, rng, sp, uv, idx
+                    in zip(fronts, rngs, src, uvs, idxs)]
+
+    def _finish_row(self, s, rng, src_pose, tgt_uv, idx):
         row = prepare_train_sample(
             s,
             n_rays=self.hpams.get("n_rays", 1024),
@@ -212,6 +255,7 @@ class UnifiedTrainer:
             src_pose=src_pose,
             code_idx=self.instoken2idx[s.get("instoken", str(idx))],
             compact_rays=self.compact_rays,
+            tgt_uv=tgt_uv,
         )
         if self.aug_wlh:
             fac = rng.uniform(0.9, 1.1, 3).astype(np.float32)
@@ -219,7 +263,7 @@ class UnifiedTrainer:
             wlh_aug = row["wlh"] * fac
             uv_aug = np.asarray(view_points(
                 corners_of_box(jnp.asarray(s["obj_poses"]), jnp.asarray(wlh_aug)),
-                K, normalize=True))[:2]
+                jnp.asarray(s["cam_intrinsics"]), normalize=True))[:2]
             row["wlh_aug"] = wlh_aug
             row["tgt_uv_aug"] = uv_aug.astype(np.float32)
         return row
@@ -249,8 +293,10 @@ class UnifiedTrainer:
             return shard_pytree_batch(batch, self.mesh) if self.mesh is not None else batch
 
         salt = int(self.nepoch) + 1
-        batcher = PrefetchBatcher(lambda i: self._prepare_row(i, salt), collate,
-                                  order, self.batch_size, num_workers=num_workers)
+        batcher = PrefetchBatcher(
+            lambda i: self._prepare_row(i, salt), collate,
+            order, self.batch_size, num_workers=num_workers,
+            batch_prepare_fn=lambda idxs: self._prepare_batch_rows(idxs, salt))
         t0 = time.time()
         first_idx = int(order[0]) if len(order) else 0
         # host-side step counter: int(self.state.niter) per step would be a
