@@ -38,10 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-
 SMOKE = os.environ.get("BENCH_SMOKE", "0") == "1"
+# the committed .jax_cache holds ONLY TPU executables (they reload in seconds
+# and are portable); CPU smoke compiles go to the gitignored .jax_cache_cpu —
+# CPU AOT entries are machine-feature-specific and must never be committed
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".jax_cache_cpu" if SMOKE else ".jax_cache"))
 if SMOKE:
     # contract smoke: tiny shapes on the host CPU (works because the remote
     # TPU backend is only instantiated at first device use)
@@ -209,11 +212,13 @@ def bench_tto_product():
         return _bench_tto_product(drv, warm=True)
 
 
-def bench_tto_pair():
+def bench_tto_pair(emit=None):
     """tto AND product in ONE process: the model init, the program trace, and
     the compile are shared — a separate subprocess per leg re-paid ~6 min of
     per-process setup (backend init + init compiles + tracing the 100-iter
-    vmapped TTO program on this 1-CPU host) for the same numbers."""
+    vmapped TTO program on this 1-CPU host) for the same numbers.
+    emit(json_line) is called with the device leg's metric as soon as it
+    completes, so a stage timeout mid-product still scores the first leg."""
     import contextlib
     import tempfile
 
@@ -221,6 +226,12 @@ def bench_tto_pair():
     with tempfile.TemporaryDirectory() as tmp:
         drv = _make_tto_driver(tmp, B, B)
         tto_v = _bench_tto_device(drv)
+        if emit is not None:
+            emit(json.dumps({
+                "metric": "tto_objects_per_min_per_chip",
+                "value": round(tto_v, 2), "unit": "objects/min",
+                "vs_baseline": round(tto_v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
+                "extra": {"baseline_is_builder_estimate": True}}))
         # the device program is warm; one small product run warms the
         # host-side bookkeeping paths (pickle/imports) before timing
         from supnerf_tpu.data.synthetic import SyntheticTTODataset
@@ -406,10 +417,15 @@ def bench_train_product():
     return steps / dt
 
 
-def bench_train_pair():
+def bench_train_pair(emit=None):
     """train AND train_product in ONE process (shared backend init and
     disk-cached init programs; see bench_tto_pair)."""
     sps, peps = bench_train()
+    if emit is not None:
+        emit(json.dumps({
+            "metric": "train_steps_per_sec_per_chip", "value": round(sps, 3),
+            "unit": "steps/s", "vs_baseline": None,
+            "extra": {"train_point_evals_per_sec": round(peps, 1)}}))
     prod = bench_train_product()
     return sps, peps, prod
 
@@ -420,10 +436,14 @@ STAGES = ("render", "tto_pair", "train_pair")
 # fraction of the global deadline each stage may consume at most. Paired
 # stages (tto+product, train+train_product) share one subprocess because the
 # per-process setup (backend init + init compiles + tracing the big programs
-# on this 1-CPU host) costs minutes and dwarfs the timed runs.
-_STAGE_CAP_FRAC = {"render": 0.40, "tto": 0.45, "train": 0.40,
+# on this 1-CPU host) costs minutes and dwarfs the timed runs. Healthy
+# warm-cache stage walls measured on-chip: render 134-257 s, tto_pair
+# 150-275 s, train_pair 152-296 s — the caps bound a SICK stage (slow tunnel
+# session, server recompile) so it cannot starve the stages after it, and a
+# killed pair child still yields its first leg's metric (partial stdout).
+_STAGE_CAP_FRAC = {"render": 0.33, "tto": 0.45, "train": 0.40,
                    "product": 0.55, "train_product": 0.55,
-                   "tto_pair": 0.60, "train_pair": 0.60}
+                   "tto_pair": 0.45, "train_pair": 0.45}
 _RESERVE_S = 20.0      # always left for assembling + printing the JSON line
 _MIN_STAGE_S = 45.0
 
@@ -436,23 +456,37 @@ def _run_stage_subprocess(stage: str, timeout_s: float):
 
     env = dict(os.environ)
     env["BENCH_METRIC"] = stage
+    # deterministic hashing: with randomized Python hashing, dict/set
+    # iteration order perturbs the serialized HLO across processes, which
+    # changes the persistent-compile-cache key and forces 2-10 min
+    # recompiles of UNCHANGED programs through the TPU tunnel (observed:
+    # byte-identical code producing distinct jit_loop cache entries)
+    env.setdefault("PYTHONHASHSEED", "0")
+    def last_json(text):
+        for line in reversed((text or "").strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        return None
+
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, "-u", os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return None, "timeout"
+    except subprocess.TimeoutExpired as e:
+        # pair stages print their first leg's JSON line as soon as it
+        # completes — salvage it so a mid-stage kill still scores the leg
+        out = e.stdout
+        parsed = last_json(out.decode() if isinstance(out, bytes) else out)
+        return parsed, "timeout" if parsed is None else "timeout (partial)"
     if proc.returncode != 0:
         tail = (proc.stderr or "").strip().splitlines()[-3:]
         return None, f"rc={proc.returncode}: {' | '.join(tail)[-300:]}"
-    for line in reversed((proc.stdout or "").strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                return json.loads(line), None
-            except json.JSONDecodeError:
-                continue
-    return None, "no JSON line on stdout"
+    parsed = last_json(proc.stdout)
+    return parsed, None if parsed is not None else "no JSON line on stdout"
 
 
 def _assemble(results: dict, failures: dict, skipped: list,
@@ -462,8 +496,9 @@ def _assemble(results: dict, failures: dict, skipped: list,
     line still carries a number."""
     extra = {
         "stages_timed_out": sorted(k for k, v in failures.items()
-                                   if v == "timeout"),
-        "stages_failed": {k: v for k, v in failures.items() if v != "timeout"},
+                                   if v.startswith("timeout")),
+        "stages_failed": {k: v for k, v in failures.items()
+                          if not v.startswith("timeout")},
         "stages_skipped": skipped,
         "stage_seconds": {k: round(v, 1) for k, v in stage_seconds.items()},
         "deadline_s": deadline,
@@ -473,8 +508,9 @@ def _assemble(results: dict, failures: dict, skipped: list,
         r = results["tto_pair"]
         extra["tto_objects_per_min_per_chip"] = r["value"]
         extra["tto_vs_serial_reference_estimate"] = r["vs_baseline"]
-        extra["tto_product_objects_per_min_per_chip"] = \
-            r["extra"]["tto_product_objects_per_min_per_chip"]
+        prod = r["extra"].get("tto_product_objects_per_min_per_chip")
+        if prod is not None:    # absent when only the device leg survived
+            extra["tto_product_objects_per_min_per_chip"] = prod
     if "tto" in results:
         extra["tto_objects_per_min_per_chip"] = results["tto"]["value"]
         extra["tto_vs_serial_reference_estimate"] = results["tto"]["vs_baseline"]
@@ -485,8 +521,9 @@ def _assemble(results: dict, failures: dict, skipped: list,
         extra["train_steps_per_sec_per_chip"] = r["value"]
         extra["train_point_evals_per_sec"] = \
             r["extra"]["train_point_evals_per_sec"]
-        extra["train_product_steps_per_sec_per_chip"] = \
-            r["extra"]["train_product_steps_per_sec_per_chip"]
+        prod = r["extra"].get("train_product_steps_per_sec_per_chip")
+        if prod is not None:
+            extra["train_product_steps_per_sec_per_chip"] = prod
     if "train" in results:
         extra["train_steps_per_sec_per_chip"] = results["train"]["value"]
         extra["train_point_evals_per_sec"] = \
@@ -530,11 +567,11 @@ def run_all():
         t0 = time.monotonic()
         parsed, err = _run_stage_subprocess(stage, budget)
         stage_seconds[stage] = time.monotonic() - t0
-        if parsed is None:
-            failures[stage] = err
-            print(f"stage {stage} failed: {err}", file=sys.stderr)
-        else:
+        if parsed is not None:
             results[stage] = parsed
+        if err is not None:
+            failures[stage] = err
+            print(f"stage {stage}: {err}", file=sys.stderr)
     print(json.dumps(_assemble(results, failures, skipped, stage_seconds,
                                deadline)))
 
@@ -585,7 +622,7 @@ def main():
                 "BENCH_TRAIN_BATCH", "2" if SMOKE else "48"))}}))
         return
     if mode == "tto_pair":
-        tto_v, prod_v = bench_tto_pair()
+        tto_v, prod_v = bench_tto_pair(emit=lambda l: print(l, flush=True))
         print(json.dumps({
             "metric": "tto_objects_per_min_per_chip",
             "value": round(tto_v, 2), "unit": "objects/min",
@@ -595,7 +632,7 @@ def main():
                 "baseline_is_builder_estimate": True}}))
         return
     if mode == "train_pair":
-        sps, peps, prod = bench_train_pair()
+        sps, peps, prod = bench_train_pair(emit=lambda l: print(l, flush=True))
         print(json.dumps({
             "metric": "train_steps_per_sec_per_chip", "value": round(sps, 3),
             "unit": "steps/s", "vs_baseline": None,
