@@ -15,7 +15,12 @@ import numpy as np
 from supnerf_tpu.geometry import roi as roi_ops
 
 
-def _get_rays_np(K, c2w, roi, uv_steps=None):
+def _get_rays_np(K, c2w, roi, uv_steps=None, ids=None):
+    """Rays over the ROI pixel grid. With ids (flat row-major indices into the
+    (h_steps, w_steps) grid), computes ONLY those pixels' rays — bit-identical
+    to indexing the full grid (the per-pixel math is elementwise + a (n,3)@(3,3)
+    matmul) at O(n_rays) instead of O(roi area); the full grid costs ~60x more
+    and dominated the product train path's host prep (VALIDATION.md round 4)."""
     dx, dy, fx, fy = K[0, 2], K[1, 2], K[0, 0], K[1, 1]
     if uv_steps is not None:
         xs = np.linspace(roi[0], roi[2] - 1, uv_steps[0])
@@ -23,7 +28,13 @@ def _get_rays_np(K, c2w, roi, uv_steps=None):
     else:
         xs = np.linspace(roi[0], roi[2] - 1, int(roi[2] - roi[0]))
         ys = np.linspace(roi[1], roi[3] - 1, int(roi[3] - roi[1]))
-    i, j = np.meshgrid(xs, ys, indexing="xy")
+    if ids is not None:
+        # row-major flat index over meshgrid(xs, ys, indexing="xy"):
+        # i[id] = xs[id % w], j[id] = ys[id // w]
+        i = xs[ids % len(xs)]
+        j = ys[ids // len(xs)]
+    else:
+        i, j = np.meshgrid(xs, ys, indexing="xy")
     dirs = np.stack([(i - dx) / fx, (j - dy) / fy, np.ones_like(i)], -1)
     rays_d = dirs @ c2w[:3, :3].T
     viewdir = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -54,23 +65,27 @@ def prepare_pixel_samples(img_crop, mask_crop, cam_pose, obj_diag, K, roi,
     near = np.linalg.norm(cam_pose[:, 3]) - obj_diag / 2
     far = np.linalg.norm(cam_pose[:, 3]) + obj_diag / 2
 
+    # draw the pixel subset FIRST (same rng stream as sampling after a full
+    # grid build), then compute rays only at those n_rays pixels
     if im_sz is None:
-        rays_o, viewdir = _get_rays_np(K, cam_pose, roi)
+        h_steps = int(roi[3] - roi[1])
+        w_steps = int(roi[2] - roi[0])
         img_px = img_crop.reshape(-1, 3)
         occ_px = mask_crop.reshape(-1, 1)
     else:
-        rays_o, viewdir = _get_rays_np(K, cam_pose, roi, uv_steps=(im_sz, im_sz))
+        h_steps = w_steps = im_sz
         img_px = roi_ops.resize_bilinear_np(img_crop, (im_sz, im_sz)).reshape(-1, 3)
         occ_px = np.trunc(
             roi_ops.resize_bilinear_np(mask_crop[..., 0], (im_sz, im_sz))
         ).reshape(-1, 1)
 
-    total = rays_o.shape[0]
+    total = h_steps * w_steps
     ids = rng.permutation(total)[:n_rays]
     if len(ids) < n_rays:
         ids = np.concatenate([ids, rng.choice(total, n_rays - len(ids))])
-    rays_o = rays_o[ids]
-    viewdir = viewdir[ids]
+    rays_o, viewdir = _get_rays_np(
+        K, cam_pose, roi,
+        uv_steps=None if im_sz is None else (im_sz, im_sz), ids=ids)
     rgb_tgt = img_px[ids]
     occ_pixels = occ_px[ids]
 
@@ -138,8 +153,11 @@ def prepare_train_sample(sample, *, n_rays: int = 1024, n_samples: int = 64,
     H, W = img.shape[:2]
     roi = roi_ops.roi_process(sample["rois"], H, W, roi_margin,
                               sq_pad=render_sz is not None)
-    img_crop, mask_crop = roi_ops.crop_and_whiten(img, mask_occ, roi)
-    # training keeps bg black after masking (reference data_nuscenes.py:637-639)
+    # training keeps bg BLACK after masking (reference data_nuscenes.py:637-639)
+    # — crop the mask and mask the crop directly instead of paying
+    # crop_and_whiten's white-bg composite only to overwrite it
+    mask_crop = np.asarray(mask_occ, np.float32)[roi[1]:roi[3],
+                                                 roi[0]:roi[2]][..., None]
     img_crop = np.asarray(img, np.float32)[roi[1]:roi[3], roi[0]:roi[2]] * (mask_crop > 0)
     img_in = roi_ops.preprocess_img_square(img_crop, in_img_sz)
 

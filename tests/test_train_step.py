@@ -95,7 +95,10 @@ def test_train_step_data_parallel_mesh():
     state = init_train_state(model, jax.random.PRNGKey(0), n_instances=8, cfg=cfg,
                              img_size=32)
     step = make_train_step(model, cfg, donate=False)
-    batch = _make_batch(n=8)
+    # same shapes as test_train_step_pallas_field_on_mesh_partitioned's flax
+    # arm: the two tests then share ONE flax-mesh program via the persistent
+    # compilation cache instead of paying two cold ~30 s CPU compiles
+    batch = _make_batch(n=8, n_rays=32, n_samples=8)
     mesh = make_mesh(8)
     state_r = replicate_pytree(state, mesh)
     batch_s = shard_pytree_batch(batch, mesh)
