@@ -28,6 +28,30 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Model init: the product code jits the whole-model init so it lands in the
+# TPU persistent compile cache (supnerf_tpu/models/initialization.py). On the
+# 1-CPU CI host that trade inverts: the suite builds MANY distinct
+# (model, img_size) configs in ONE process, and each jitted init pays a
+# ~20-30 s cold compile, while EAGER flax init amortizes the op-by-op jit
+# cache across configs (measured: 20.8 s for the first eager init, 2.7-7.6 s
+# for each further config). Route the init module's jax.jit to identity here
+# — tests-only; the TPU path and its committed compile cache are untouched.
+from supnerf_tpu.models import initialization as _init_mod  # noqa: E402
+
+
+class _EagerJitJax:
+    """Proxy for the init module's `jax` global with jit as identity."""
+
+    @staticmethod
+    def jit(fn, **_kw):
+        return fn
+
+    def __getattr__(self, name):
+        return getattr(jax, name)
+
+
+_init_mod.jax = _EagerJitJax()
+
 
 @pytest.fixture
 def rng():

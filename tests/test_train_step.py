@@ -15,6 +15,24 @@ from supnerf_tpu.geometry.poses import get_random_pose
 TINY_HP = {"shape_blocks": 1, "texture_blocks": 1, "latent_dim": 32,
            "pose_shortcut": 1, "pred_wlh": 0}
 
+_SHARED = {}
+
+
+def _shared_step():
+    """One (model, cfg, state, step) for the single-device full-batch tests:
+    test_train_step_runs_and_updates and test_compact_rays_match_expanded use
+    identical configs/shapes, and sharing the step closure means the second
+    test hits the in-memory jit cache instead of re-compiling the same
+    program (~20-35 s on the 1-CPU CI host)."""
+    if not _SHARED:
+        model = build_model("supnerf", TINY_HP)
+        cfg = TrainConfig(latent_dim=32, im_enc_rate=1.0)
+        state = init_train_state(model, jax.random.PRNGKey(0), n_instances=3,
+                                 cfg=cfg, img_size=32)
+        _SHARED.update(model=model, cfg=cfg, state=state,
+                       step=make_train_step(model, cfg, donate=False))
+    return _SHARED["model"], _SHARED["cfg"], _SHARED["state"], _SHARED["step"]
+
 
 def _make_batch(n=4, n_rays=64, n_samples=8, in_img_sz=32, compact=False):
     rng = np.random.default_rng(0)
@@ -32,11 +50,7 @@ def _make_batch(n=4, n_rays=64, n_samples=8, in_img_sz=32, compact=False):
 
 
 def test_train_step_runs_and_updates():
-    model = build_model("supnerf", TINY_HP)
-    cfg = TrainConfig(latent_dim=32, im_enc_rate=1.0)
-    state = init_train_state(model, jax.random.PRNGKey(0), n_instances=3, cfg=cfg,
-                             img_size=32)
-    step = make_train_step(model, cfg, donate=False)
+    model, cfg, state, step = _shared_step()
     batch = _make_batch()
     losses = []
     for t in range(3):
@@ -58,11 +72,7 @@ def test_compact_rays_match_expanded():
     (B, R, S, 3) batch: same rng stream -> same rays, and the expansion
     xyz = o/diag + v*z/diag differs from (o + v*z)/diag only by fp
     reassociation."""
-    model = build_model("supnerf", TINY_HP)
-    cfg = TrainConfig(latent_dim=32, im_enc_rate=1.0)
-    state = init_train_state(model, jax.random.PRNGKey(0), n_instances=3,
-                             cfg=cfg, img_size=32)
-    step = make_train_step(model, cfg, donate=False)
+    model, cfg, state, step = _shared_step()
     b_full = _make_batch()
     b_compact = _make_batch(compact=True)
     assert b_compact.xyz.ndim == 3 and b_full.xyz.ndim == 4
