@@ -24,8 +24,12 @@ from supnerf_tpu.models.codenerf import CodeNeRF
 from supnerf_tpu.models.supnerf import SUPNeRF
 
 
-@functools.lru_cache(maxsize=8)
-def _init_variables_cached(model, key_bytes: bytes, img_size: int):
+def make_init_fn(model, img_size: int):
+    """The per-model-family init method: touches EVERY entry point (encoder /
+    pose refiner / field) so one `model.init(key, method=init_fn)` yields the
+    full variables dict. Shared by the cached jitted init below and by tests
+    that eval_shape the published param count — one source of truth for which
+    entry points the init covers."""
     latent = getattr(model, "latent_dim", 256)
     xyz = jnp.zeros((1, 1, 3), jnp.float32)
     code = jnp.zeros((latent,), jnp.float32)
@@ -52,6 +56,12 @@ def _init_variables_cached(model, key_bytes: bytes, img_size: int):
     else:
         raise TypeError(f"Unknown model type: {type(model)}")
 
+    return init_fn
+
+
+@functools.lru_cache(maxsize=8)
+def _init_variables_cached(model, key_bytes: bytes, img_size: int):
+    init_fn = make_init_fn(model, img_size)
     key = jnp.asarray(np.frombuffer(key_bytes, np.uint32).copy())
     return jax.jit(lambda k: model.init(k, method=init_fn))(key)
 

@@ -43,7 +43,10 @@ class _EagerJitJax:
     """Proxy for the init module's `jax` global with jit as identity."""
 
     @staticmethod
-    def jit(fn, **_kw):
+    def jit(fn, *_args, **_kw):
+        # accepts jax.jit's positional forms too (e.g. jit(fn, static_argnums))
+        # so a future positional call in initialization.py doesn't raise a
+        # tests-only TypeError
         return fn
 
     def __getattr__(self, name):

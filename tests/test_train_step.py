@@ -23,7 +23,12 @@ def _shared_step():
     test_train_step_runs_and_updates and test_compact_rays_match_expanded use
     identical configs/shapes, and sharing the step closure means the second
     test hits the in-memory jit cache instead of re-compiling the same
-    program (~20-35 s on the 1-CPU CI host)."""
+    program (~20-35 s on the 1-CPU CI host).
+
+    The shared `state` is only safe because the step is built with
+    donate=False — a donating step would invalidate the cached state's
+    buffers for whichever test runs second. Keep donate=False here; a
+    donating-step test must build its own state."""
     if not _SHARED:
         model = build_model("supnerf", TINY_HP)
         cfg = TrainConfig(latent_dim=32, im_enc_rate=1.0)
