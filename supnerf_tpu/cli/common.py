@@ -81,6 +81,11 @@ def add_optimize_args(p: argparse.ArgumentParser):
     p.add_argument("--id_subset", type=int, default=0,
                    help="legacy manual sharding: this process's subset id")
     p.add_argument("--opt_multiview", type=str2bool, default=False)
+    p.add_argument("--code_level", type=int, default=None, choices=[0, 1, 2],
+                   help="optimized-code storage granularity: 0 per instance, "
+                        "1 per annotation, 2 per (annotation, camera). "
+                        "Default: 2, or 0 for --opt_multiview (the reference "
+                        "dispatch, optimize_nuscenes.py:90-94)")
     p.add_argument("--cross_eval_folder", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=16,
                    help="objects optimized per device batch")

@@ -97,6 +97,7 @@ def main(argv=None):
         n_devices=args.devices, seed=args.seed, vis=args.vis,
         init_rot_err=args.init_rot_err, init_trans_err=args.init_trans_err,
         rand_angle_lim=args.rand_angle_lim, field_impl=args.field_impl,
+        code_level=args.code_level,
     )
     if args.cross_eval_folder:
         # evaluation-only resume from a previous optimization folder

@@ -137,14 +137,21 @@ def prepare_train_sample(sample, *, n_rays: int = 1024, n_samples: int = 64,
                          shapenet_obj_cood: bool = True, sym_aug: bool = False,
                          rng=None, render_sz: int | None = None,
                          src_pose=None, code_idx: int = 0,
-                         compact_rays: bool = False, tgt_uv=None):
+                         compact_rays: bool = False, tgt_uv=None,
+                         img_dtype=None):
     """Full host prep from a dataset sample dict (see data.synthetic /
     data.nuscenes) to one TrainBatch row (stack rows then shard).
 
     tgt_uv: optional precomputed (2, 8) projected GT box corners — the
     trainer passes these from ONE batched jitted CPU call; the per-row eager
     corners_of_box+view_points chain here costs ~7 ms of Python dispatch per
-    sample on a 1-CPU host (see trainer._prepare_batch_rows)."""
+    sample on a 1-CPU host (see trainer._prepare_batch_rows).
+
+    img_dtype: storage dtype for img_in (default float32). The trainer passes
+    ml_dtypes.bfloat16 to halve the step's dominant host->device transfer
+    (the 128x128x3 encoder image); the train step casts back to f32 on
+    device, which is numerically free on TPU (conv operands are rounded to
+    bf16 by the default precision anyway)."""
     from supnerf_tpu.geometry.boxes import corners_of_box, view_points
     import jax.numpy as jnp
 
@@ -160,6 +167,8 @@ def prepare_train_sample(sample, *, n_rays: int = 1024, n_samples: int = 64,
                                                  roi[0]:roi[2]][..., None]
     img_crop = np.asarray(img, np.float32)[roi[1]:roi[3], roi[0]:roi[2]] * (mask_crop > 0)
     img_in = roi_ops.preprocess_img_square(img_crop, in_img_sz)
+    if img_dtype is not None:
+        img_in = img_in.astype(img_dtype)
 
     wlh = sample["wlh"]
     obj_diag = float(np.linalg.norm(wlh))

@@ -394,17 +394,57 @@ def nerf_only_loss(model, params, batch_stats, codes, batch: TrainBatch,
                         "shapecode_out": shapecode, "texturecode_out": texturecode}
 
 
+class _PackedStep:
+    """A jitted train step returning (state, metrics_vector) plus the static
+    metric-name order for host-side unpacking (one device->host buffer per
+    step instead of one per scalar — through this environment's TPU tunnel
+    each output buffer is its own fetch). Names are captured at trace time,
+    so metric_names() is available after the first call."""
+
+    def __init__(self, fn, names_holder):
+        self._fn = fn
+        self._names = names_holder
+
+    def __call__(self, *args, **kwargs):
+        return self._fn(*args, **kwargs)
+
+    def lower(self, *args, **kwargs):
+        return self._fn.lower(*args, **kwargs)
+
+    def metric_names(self):
+        return self._names[0] if self._names else None
+
+    def unpack(self, vec):
+        """metrics vector (host-fetched) -> {name: float} dict."""
+        import numpy as np
+
+        return {k: float(v) for k, v in zip(self.metric_names(),
+                                            np.asarray(vec))}
+
+
 def make_train_step(model, cfg: TrainConfig, donate: bool = True,
-                    loss_mode: str = "unified", mesh=None):
+                    loss_mode: str = "unified", mesh=None,
+                    packed_metrics: bool = False):
     """Build the jitted train step: (state, batch, key) -> (state, metrics).
 
     Shard the batch's leading axis over the mesh and replicate the state; jit
     with these shardings and XLA handles the cross-device gradient reduction.
+
+    packed_metrics=True returns a _PackedStep whose second output is ONE
+    (n_metrics,) float32 vector (static name order via .metric_names()); the
+    default returns the metrics dict.
     """
     tx_model, tx_codes = _make_optimizers(cfg)
+    names_holder: list = []
 
     def train_step(state: TrainState, batch: TrainBatch, key):
         batch = expand_compact_rays(batch)
+        if batch.img_in.dtype != jnp.float32:
+            # the trainer uploads encoder images as bfloat16 (halves the
+            # dominant host->device transfer); cast back up front — on TPU
+            # the default matmul/conv precision rounds f32 operands to bf16
+            # anyway, so this is numerically free on the compiled path
+            batch = batch.replace(img_in=batch.img_in.astype(jnp.float32))
         enc_key, loss_key = jax.random.split(key)
         enc_active = jax.random.uniform(enc_key, ()) < cfg.im_enc_rate
 
@@ -445,6 +485,13 @@ def make_train_step(model, cfg: TrainConfig, donate: bool = True,
         )
         metrics = dict(aux["losses"])
         metrics["enc_active"] = enc_active.astype(jnp.float32)
+        if packed_metrics:
+            names = tuple(sorted(metrics))
+            if not names_holder:
+                names_holder.append(names)
+            return new_state, jnp.stack(
+                [jnp.asarray(metrics[k], jnp.float32) for k in names])
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    fn = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return _PackedStep(fn, names_holder) if packed_metrics else fn

@@ -73,7 +73,8 @@ class UnifiedTrainer:
                  n_devices: int | None = None, seed: int = 0,
                  check_iter: int = 1000, log_writer=None,
                  field_impl: str = "flax", save_every: int = 1,
-                 compact_rays: bool = True, metric_flush: int = 10):
+                 compact_rays: bool = True, metric_flush: int = 10,
+                 img_upload_dtype: str | None = "bfloat16"):
         self.model = model
         self.hpams = hpams
         self.dataset = dataset
@@ -97,6 +98,23 @@ class UnifiedTrainer:
         self.metric_flush = max(int(metric_flush), 1)
         self._pose_jit = None   # batched CPU pose init (see _prepare_batch_rows)
         self._uv_jit = None     # batched CPU GT-corner projection
+        # encoder images upload as bfloat16 by default: the (B, 128, 128, 3)
+        # img_in is the step's dominant host->device transfer (9.4 MB f32 at
+        # batch 48 through this environment's TPU tunnel); the step casts
+        # back to f32 on device, where TPU conv precision rounds operands to
+        # bf16 anyway. Pass img_upload_dtype=None for exact-f32 uploads.
+        if img_upload_dtype in (None, "float32"):
+            self._img_dtype = None
+        else:
+            import ml_dtypes
+
+            self._img_dtype = np.dtype(getattr(ml_dtypes, img_upload_dtype))
+        # per-epoch host/producer phase timing (seconds), reset each epoch;
+        # the bench's train_product stage prints it as the product-path
+        # decomposition (wait_batch = host-starved time on the main thread)
+        from collections import defaultdict
+
+        self.epoch_phases = defaultdict(float)
         # per-epoch checkpoints match the reference (save_models :387); >1
         # amortizes the full-state device_get on short epochs (the transfer
         # costs more than 16 train steps through the TPU tunnel)
@@ -152,8 +170,12 @@ class UnifiedTrainer:
                 self.cfg, self.model, {"params": self.state.params})
         if self.mesh is not None:
             self.state = replicate_pytree(self.state, self.mesh)
+        # packed_metrics: the step returns ONE (n_metrics,) vector instead of
+        # a dict of scalars — one device buffer (one async copy / one fetch)
+        # per step instead of ~13
         self.step_fn = make_train_step(self.model, self.cfg, donate=False,
-                                       loss_mode=loss_mode, mesh=self.mesh)
+                                       loss_mode=loss_mode, mesh=self.mesh,
+                                       packed_metrics=True)
         self.metrics_history = []
 
     # -- data ----------------------------------------------------------------
@@ -256,6 +278,7 @@ class UnifiedTrainer:
             code_idx=self.instoken2idx[s.get("instoken", str(idx))],
             compact_rays=self.compact_rays,
             tgt_uv=tgt_uv,
+            img_dtype=self._img_dtype,
         )
         if self.aug_wlh:
             fac = rng.uniform(0.9, 1.1, 3).astype(np.float32)
@@ -286,45 +309,77 @@ class UnifiedTrainer:
         from supnerf_tpu.training.prefetch import PrefetchBatcher
 
         order = self.rng.permutation(len(self.dataset))
+        phases = self.epoch_phases
+        phases.clear()
 
         def collate(rows):
+            t0 = time.perf_counter()
             stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            t1 = time.perf_counter()
             batch = TrainBatch(**{k: jnp.asarray(v) for k, v in stacked.items()})
+            phases["producer_stack"] += t1 - t0
+            phases["producer_upload"] += time.perf_counter() - t1
             return shard_pytree_batch(batch, self.mesh) if self.mesh is not None else batch
 
         salt = int(self.nepoch) + 1
+
+        def batch_prep(idxs):
+            t0 = time.perf_counter()
+            rows = self._prepare_batch_rows(idxs, salt)
+            phases["producer_prep"] += time.perf_counter() - t0
+            return rows
+
         batcher = PrefetchBatcher(
             lambda i: self._prepare_row(i, salt), collate,
             order, self.batch_size, num_workers=num_workers,
-            batch_prepare_fn=lambda idxs: self._prepare_batch_rows(idxs, salt))
+            batch_prepare_fn=batch_prep)
+        n_steps = len(batcher)
         t0 = time.time()
         first_idx = int(order[0]) if len(order) else 0
         # host-side step counter: int(self.state.niter) per step would be a
         # blocking device->host transfer (one ~0.4 s tunnel round trip each)
         niter_host = int(self.state.niter)
-        # per-step keys derived ON THE HOST CPU from (seed, epoch, step):
-        # jax.random.split(self.key) each step is a per-step device dispatch
-        # through the tunnel and serializes the key chain across steps
+        # ALL per-step keys derived up front in ONE jitted CPU call from
+        # (seed, epoch): a per-step fold_in dispatch (even on the host CPU)
+        # is ~1-2 ms of Python/jax overhead on this 1-core host, stolen from
+        # the producer thread's prep window
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            epoch_key = np.asarray(jax.random.fold_in(
-                jax.random.PRNGKey(self._base_seed), salt))
-        pending = []        # (device metric tree, dt, niter) awaiting fetch
-        for bi, batch in enumerate(batcher):
-            with jax.default_device(cpu):
-                k = np.asarray(jax.random.fold_in(jnp.asarray(epoch_key), bi))
-            self.state, metrics = self.step_fn(self.state, batch, k)
+            epoch_key = jax.random.fold_in(
+                jax.random.PRNGKey(self._base_seed), salt)
+            step_keys = np.asarray(jax.vmap(
+                lambda i: jax.random.fold_in(epoch_key, i))(
+                    jnp.arange(max(n_steps, 1))))
+        pending = []        # (device metric vec, dt, niter) awaiting fetch
+        it = iter(batcher)
+        bi = 0
+        while True:
+            t_w = time.perf_counter()
+            batch = next(it, None)
+            t_got = time.perf_counter()
+            phases["main_wait_batch"] += t_got - t_w
+            if batch is None:
+                break
+            self.state, metrics = self.step_fn(self.state, batch,
+                                               step_keys[bi])
+            bi += 1
             niter_host += 1
-            # start the D2H copies now; block only at the flush boundary
-            jax.tree.map(self._copy_async, metrics)
+            # start the D2H copy now; block only at the flush boundary
+            self._copy_async(metrics)
             pending.append((metrics, time.time() - t0, niter_host))
+            phases["main_dispatch"] += time.perf_counter() - t_got
             if len(pending) >= self.metric_flush:
+                t_f = time.perf_counter()
                 self._flush_metrics(pending)
                 pending = []
+                phases["main_metric_flush"] += time.perf_counter() - t_f
             if niter_host % self.check_iter == 0:
                 self._log_vis(first_idx)
             t0 = time.time()
+        t_f = time.perf_counter()
         self._flush_metrics(pending)
+        phases["main_metric_flush"] += time.perf_counter() - t_f
+        phases["n_steps"] += bi
 
     @staticmethod
     def _copy_async(x):
@@ -334,13 +389,13 @@ class UnifiedTrainer:
             pass
 
     def _flush_metrics(self, pending):
-        """ONE blocking fetch for a window of steps' metrics (async per-leaf
-        copies were already started), then the host-side logging."""
+        """ONE blocking fetch for a window of steps' packed metric vectors
+        (async copies were already started), then the host-side logging."""
         if not pending:
             return
         fetched = jax.device_get([m for m, _, _ in pending])
         for f, (_, dt, niter) in zip(fetched, pending):
-            self._log(f, dt, niter, fetched=True)
+            self._log(self.step_fn.unpack(f), dt, niter, fetched=True)
 
     def _log_vis(self, idx: int):
         """Render a [generated | target] panel for one sample of the batch and

@@ -96,7 +96,8 @@ class TTODriver:
                  seed: int = 0, vis: int = 0, vis_im_sz: int = 128,
                  use_pallas: bool = False, init_rot_err: float | None = None,
                  init_trans_err: float | None = None,
-                 rand_angle_lim: float = 0.0, field_impl: str = "flax"):
+                 rand_angle_lim: float = 0.0, field_impl: str = "flax",
+                 code_level: int | None = None):
         self.model = model
         self.variables = variables
         self.mean_shape = jnp.asarray(mean_shape)
@@ -111,6 +112,24 @@ class TTODriver:
         self.save_freq = save_freq
         self.vis = vis
         self.vis_im_sz = vis_im_sz
+        # code_level: result-storage granularity for the optimized codes
+        # (reference optimizer_nuscenes.py:86-112, selected by opt_multiview
+        # at optimize_nuscenes.py:90-94):
+        #   0 = per instance (flat (n_code, latent) keyed by instoken —
+        #       the multiview schema; run_multiview always uses this)
+        #   1 = per annotation (flat, keyed by anntoken)
+        #   2 = per (annotation, camera) ({ann: {cam: codes}} — the default
+        #       single-view schema)
+        # None resolves to 2 in run() and 0 in run_multiview(), matching the
+        # reference dispatch. optimized_poses stay keyed {ann: {cam: pose}}
+        # at EVERY level, as the reference initializes them before its
+        # code_level branch (:80-84). NOTE the reference's own level-1 write
+        # path is unreachable/broken (its loops always index [ann][cam]; no
+        # entry point selects 1) — here level 1 stores per-ann flat codes as
+        # the reference's init structure implies, last camera wins.
+        if code_level not in (None, 0, 1, 2):
+            raise ValueError(f"code_level must be 0/1/2, got {code_level!r}")
+        self.code_level = code_level
         # pose-error injection parameters; None falls back to the config then
         # the reference nuScenes CLI defaults (init_rot_err 0.0,
         # init_trans_err 0.2; KITTI/Waymo wrappers pass 0.4 / 0.01)
@@ -432,16 +451,25 @@ class TTODriver:
         up_cos = np.clip(-refined[:, 1, 2], -1.0, 1.0)
         ood = np.abs(np.arccos(up_cos)) > np.pi / 4
 
+        level = 2 if self.code_level is None else self.code_level
         for i, (sample, idx) in enumerate(zip(samples, idxs)):
             log_idx, ann, cam = self._log_idx(sample, idx)
             # np.array COPIES: the fetched leaves are zero-copy views into the
             # batch's single packed transfer buffer — storing raw slices in
             # these long-lived dicts would pin the whole buffer (all curves /
             # trajectories, several MB with emit_code_curves) per batch
-            self.optimized_shapecodes.setdefault(ann, {})[cam] = np.array(
-                res["shapecodes_saved"][i])
-            self.optimized_texturecodes.setdefault(ann, {})[cam] = np.array(
-                res["texturecodes_saved"][i])
+            sc = np.array(res["shapecodes_saved"][i])
+            tc = np.array(res["texturecodes_saved"][i])
+            if level == 0:          # per instance, flat (multiview schema)
+                ins = sample.get("instoken", ann)
+                self.optimized_shapecodes[ins] = sc
+                self.optimized_texturecodes[ins] = tc
+            elif level == 1:        # per annotation, flat
+                self.optimized_shapecodes[ann] = sc
+                self.optimized_texturecodes[ann] = tc
+            else:                   # per (annotation, camera) — the default
+                self.optimized_shapecodes.setdefault(ann, {})[cam] = sc
+                self.optimized_texturecodes.setdefault(ann, {})[cam] = tc
             self.optimized_poses.setdefault(ann, {})[cam] = np.array(
                 res["poses_saved"][i])
             self.psnr_eval[log_idx] = res["psnr"][i].tolist()
@@ -619,6 +647,10 @@ class TTODriver:
             "ood_flags": self.ood_flags,
             "num_ood": int(sum(self.ood_flags.values())),
             "CODE_SAVE_ITERS_": list(CODE_SAVE_ITERS),
+            # extra (absent from reference files; readers index specific keys
+            # so it is interop-neutral): which storage schema the optimized_*
+            # dicts use — see the code_level docstring in __init__
+            "code_level": 2 if self.code_level is None else self.code_level,
         }
 
     def save_results(self, name: str = "codes+poses.pkl"):
@@ -685,6 +717,10 @@ class TTODriver:
 
         if slack_tex is None:
             slack_tex = not opt_pose
+        # multiview codes are joint per instance: storage is ALWAYS the
+        # level-0 schema, exactly as the reference forces code_level=0 for
+        # opt_multiview (optimize_nuscenes.py:90-92)
+        self.code_level = 0
 
         by_ins = {}
         for idx in range(len(self.dataset)):

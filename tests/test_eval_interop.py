@@ -84,3 +84,60 @@ def test_write_reference_format_pth_roundtrip(tmp_path):
                                atol=1e-4)
     np.testing.assert_allclose(agg_pth["depth_err"], agg_pkl["depth_err"],
                                atol=1e-5)
+
+
+def test_code_level_storage_roundtrip(tmp_path):
+    """code_level 0/1/2 result-storage granularity (reference
+    optimizer_nuscenes.py:86-112): the saved .pth structures match the
+    reference's per-level schema — 0: {instoken: (n_code, latent)} flat,
+    1: {anntoken: codes} flat, 2: {anntoken: {cam: codes}} — and every level
+    aggregates identically through eval/aggregate (metric curves are
+    level-independent). One device TTO run is shared across levels; only the
+    host-side storage/serialization differs."""
+    from supnerf_tpu.eval.aggregate import load_result_file
+    from tests.test_tto_driver import SynthDataset, _driver
+
+    ds = SynthDataset(2, views_per_ins=2)   # 2 anns, ONE instance
+    drv = _driver(tmp_path, ds)
+    idxs = [0, 1]
+    prepped, samples = drv._prep_batch(idxs)
+    res_dev = drv._dispatch_batch(idxs, prepped)
+
+    aggs = {}
+    for level in (0, 1, 2):
+        drv.code_level = level
+        drv.optimized_shapecodes = {}
+        drv.optimized_texturecodes = {}
+        drv.optimized_poses = {}
+        drv._postprocess_batch(idxs, samples, prepped, res_dev)
+        drv.save_results(name=f"codes+poses_l{level}.pkl")
+        drv.save_results_pth(name=f"codes+poses_l{level}.pth")
+
+        saved = torch.load(str(tmp_path / f"codes+poses_l{level}.pth"),
+                           map_location="cpu", weights_only=False)
+        sc = saved["optimized_shapecodes"]
+        if level == 0:
+            # both anns belong to ins_0 -> ONE flat per-instance entry
+            assert set(sc) == {"ins_0"}
+            assert isinstance(sc["ins_0"], torch.Tensor) and sc["ins_0"].ndim == 2
+        elif level == 1:
+            assert set(sc) == {"ann_0", "ann_1"}
+            assert isinstance(sc["ann_0"], torch.Tensor) and sc["ann_0"].ndim == 2
+        else:
+            assert set(sc) == {"ann_0", "ann_1"}
+            assert isinstance(sc["ann_0"], dict)
+            assert isinstance(sc["ann_0"]["CAM_FRONT"], torch.Tensor)
+        # poses stay {ann: {cam: (n_code, 3, 4)}} at every level (reference
+        # initializes them before its code_level branch, :80-84)
+        poses = saved["optimized_poses"]
+        assert isinstance(poses["ann_0"], dict)
+        assert poses["ann_0"]["CAM_FRONT"].shape[-2:] == (3, 4)
+
+        agg = aggregate_metrics(load_result_file(
+            str(tmp_path / f"codes+poses_l{level}.pth")), max_iter=4)
+        aggs[level] = agg["psnr"]
+        pkl = load_result_file(str(tmp_path / f"codes+poses_l{level}.pkl"))
+        assert pkl["code_level"] == level
+
+    np.testing.assert_allclose(aggs[0], aggs[1], atol=1e-6)
+    np.testing.assert_allclose(aggs[0], aggs[2], atol=1e-6)
