@@ -72,6 +72,16 @@ SHAPE_CEILING_RAYS_PER_SEC = 1.81e6
 # (~10 s/object: 100 iters + per-iter eval renders). No published number —
 # this is the builder's estimate, labeled as such.
 REFERENCE_TTO_OBJ_PER_MIN_EST = 6.0
+# TTO roofline from the measured matmul-shape chain ceiling (BASELINE.md "TTO
+# roofline"): the ceiling is per POINT through the 9-layer decoder chain
+# (1.81M rays/s x 64 samples = 115.8M point-fwd/s). One published TTO
+# iteration costs, in forward-equivalents: loss render 1024 rays x 64 samples
+# x (1 fwd + 2 bwd: recompute 9 + transposed 9 layers), plus the per-iter
+# lidar-depth metric render 256 rays x 64 forward-only. Encoder + 3 refiner
+# steps are <1% of the 100-iteration total and excluded.
+_TTO_FWD_EQUIV_PTS_PER_OBJ = 100 * (1024 * 64 * 3 + 256 * 64)     # 21.3M
+TTO_CEILING_OBJ_PER_MIN = (SHAPE_CEILING_RAYS_PER_SEC * 64
+                           / _TTO_FWD_EQUIV_PTS_PER_OBJ * 60)     # ~326.4
 
 from supnerf_tpu.data.synthetic import PUBLISHED_NET_HP as _PUBLISHED_HP
 
@@ -231,7 +241,9 @@ def bench_tto_pair(emit=None):
                 "metric": "tto_objects_per_min_per_chip",
                 "value": round(tto_v, 2), "unit": "objects/min",
                 "vs_baseline": round(tto_v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
-                "extra": {"baseline_is_builder_estimate": True}}))
+                "extra": {"baseline_is_builder_estimate": True,
+                          "tto_vs_ceiling": round(
+                              tto_v / TTO_CEILING_OBJ_PER_MIN, 4)}}))
         # the device program is warm; one small product run warms the
         # host-side bookkeeping paths (pickle/imports) before timing
         from supnerf_tpu.data.synthetic import SyntheticTTODataset
@@ -417,6 +429,65 @@ def bench_train_product():
     return steps / dt
 
 
+def bench_scene():
+    """Scene-compositor throughput: the demo's multi-object novel-view frame
+    render (reference scripts/demo.py:425-579 vis_scene — per-object AABB
+    rays, batched multi-object field queries, cross-object z-merge
+    compositing). N_OBJ objects, a demo-scale window, n_frames frames with
+    per-frame object manipulation, all inside ONE jitted fori_loop.
+    Returns (frames/s, object-ray queries/s)."""
+    from supnerf_tpu.models import build_model, init_model_variables
+    from supnerf_tpu.render.compositor import render_scene_window
+
+    net_hp = _net_hp()
+    latent = net_hp["latent_dim"]
+    model = build_model("supnerf", net_hp)
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+
+    N_OBJ = 2 if SMOKE else 6
+    WIN_W, WIN_H = (8, 8) if SMOKE else (256, 128)
+    N_SAMPLES = 8 if SMOKE else 64
+    n_frames = int(os.environ.get("BENCH_SCENE_FRAMES", "2" if SMOKE else "10"))
+
+    K = jnp.asarray([[400.0, 0, WIN_W / 2], [0, 400.0, WIN_H / 2], [0, 0, 1]])
+    window = jnp.asarray([0.0, 0.0, float(WIN_W), float(WIN_H)])
+    xs = jnp.linspace(-6.0, 6.0, N_OBJ)
+    obj_poses = jnp.stack([
+        jnp.concatenate([jnp.eye(3), jnp.asarray([[float(x)], [1.0], [18.0]])],
+                        axis=1) for x in xs])
+    obj_wlh = jnp.tile(jnp.asarray([1.9, 4.6, 1.7]), (N_OBJ, 1))
+    sc = jax.random.normal(jax.random.PRNGKey(1), (N_OBJ, latent)) * 0.1
+    tc = jax.random.normal(jax.random.PRNGKey(2), (N_OBJ, latent)) * 0.1
+
+    def render_frame(v_args, dx, key):
+        poses = obj_poses.at[:, 0, 3].add(dx)
+        rgb, depth = render_scene_window(
+            lambda x, d, s, t: model.apply(v_args, x, d, s, t),
+            key, poses, obj_wlh, sc, tc, K, window, (WIN_W, WIN_H),
+            n_samples=N_SAMPLES, adjust_scale=0.5,
+            chunk=64 if SMOKE else 1024)
+        return rgb, depth
+
+    @jax.jit
+    def timed_loop(v_args, key):
+        def body(i, acc):
+            rgb, depth = render_frame(
+                v_args, 0.2 * i, jax.random.fold_in(key, i))
+            return acc + rgb.mean() + depth.mean()
+
+        return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
+
+    _t("scene: trace+compile (warmup call)")
+    jax.block_until_ready(timed_loop(variables, jax.random.PRNGKey(3)))
+    _t("scene: timed run")
+    t0 = time.perf_counter()
+    jax.block_until_ready(timed_loop(variables, jax.random.PRNGKey(4)))
+    dt = time.perf_counter() - t0
+    _t("scene: done")
+    fps = n_frames / dt
+    return fps, fps * WIN_W * WIN_H * N_OBJ
+
+
 def bench_train_pair(emit=None):
     """train AND train_product in ONE process (shared backend init and
     disk-cached init programs; see bench_tto_pair)."""
@@ -432,7 +503,7 @@ def bench_train_pair(emit=None):
 
 # --------------------------------------------------------------- orchestrator
 
-STAGES = ("render", "tto_pair", "train_pair")
+STAGES = ("render", "tto_pair", "train_pair", "scene")
 # fraction of the global deadline each stage may consume at most. Paired
 # stages (tto+product, train+train_product) share one subprocess because the
 # per-process setup (backend init + init compiles + tracing the big programs
@@ -443,7 +514,7 @@ STAGES = ("render", "tto_pair", "train_pair")
 # killed pair child still yields its first leg's metric (partial stdout).
 _STAGE_CAP_FRAC = {"render": 0.33, "tto": 0.45, "train": 0.40,
                    "product": 0.55, "train_product": 0.55,
-                   "tto_pair": 0.45, "train_pair": 0.45}
+                   "tto_pair": 0.45, "train_pair": 0.45, "scene": 0.25}
 _RESERVE_S = 20.0      # always left for assembling + printing the JSON line
 _MIN_STAGE_S = 45.0
 
@@ -508,12 +579,14 @@ def _assemble(results: dict, failures: dict, skipped: list,
         r = results["tto_pair"]
         extra["tto_objects_per_min_per_chip"] = r["value"]
         extra["tto_vs_serial_reference_estimate"] = r["vs_baseline"]
+        extra["tto_vs_ceiling"] = r["extra"].get("tto_vs_ceiling")
         prod = r["extra"].get("tto_product_objects_per_min_per_chip")
         if prod is not None:    # absent when only the device leg survived
             extra["tto_product_objects_per_min_per_chip"] = prod
     if "tto" in results:
         extra["tto_objects_per_min_per_chip"] = results["tto"]["value"]
         extra["tto_vs_serial_reference_estimate"] = results["tto"]["vs_baseline"]
+        extra["tto_vs_ceiling"] = results["tto"]["extra"].get("tto_vs_ceiling")
     if "product" in results:
         extra["tto_product_objects_per_min_per_chip"] = results["product"]["value"]
     if "train_pair" in results:
@@ -531,6 +604,10 @@ def _assemble(results: dict, failures: dict, skipped: list,
     if "train_product" in results:
         extra["train_product_steps_per_sec_per_chip"] = \
             results["train_product"]["value"]
+    if "scene" in results:
+        extra["scene_frames_per_sec"] = results["scene"]["value"]
+        extra["scene_obj_ray_queries_per_sec"] = \
+            results["scene"]["extra"]["scene_obj_ray_queries_per_sec"]
 
     if "render" in results:
         r = results["render"]
@@ -540,7 +617,7 @@ def _assemble(results: dict, failures: dict, skipped: list,
                 "unit": "rays/s", "vs_baseline": r["vs_baseline"],
                 "extra": extra}
     for stage in ("tto_pair", "tto", "train_pair", "train", "product",
-                  "train_product"):
+                  "train_product", "scene"):
         if stage in results:
             r = results[stage]
             return {"metric": r["metric"], "value": r["value"],
@@ -550,12 +627,21 @@ def _assemble(results: dict, failures: dict, skipped: list,
             "vs_baseline": None, "extra": extra}
 
 
+def _cache_entries():
+    d = jax.config.jax_compilation_cache_dir
+    try:
+        return set(os.listdir(d))
+    except OSError:
+        return set()
+
+
 def run_all():
     deadline = float(os.environ.get("BENCH_DEADLINE_S",
                                     "240" if SMOKE else "900"))
     stages = [s.strip() for s in
               os.environ.get("BENCH_STAGES", ",".join(STAGES)).split(",")
               if s.strip()]
+    cache_before = _cache_entries()
     t_start = time.monotonic()
     results, failures, skipped, stage_seconds = {}, {}, [], {}
     for stage in stages:
@@ -572,8 +658,14 @@ def run_all():
         if err is not None:
             failures[stage] = err
             print(f"stage {stage}: {err}", file=sys.stderr)
-    print(json.dumps(_assemble(results, failures, skipped, stage_seconds,
-                               deadline)))
+    line = _assemble(results, failures, skipped, stage_seconds, deadline)
+    # recompile sentinel: new persistent-cache entries mean the committed
+    # .jax_cache did not cover every program this run compiled (a cache-key
+    # shift — e.g. source line moves — silently costs minutes per program
+    # through the TPU tunnel; round 3's bench died of exactly this)
+    line["extra"]["programs_recompiled"] = \
+        len(_cache_entries() - cache_before)
+    print(json.dumps(line))
 
 
 def main():
@@ -584,7 +676,9 @@ def main():
             "metric": "tto_objects_per_min_per_chip", "value": round(v, 2),
             "unit": "objects/min",
             "vs_baseline": round(v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
-            "extra": {"baseline_is_builder_estimate": True}}))
+            "extra": {"baseline_is_builder_estimate": True,
+                      "tto_vs_ceiling": round(
+                          v / TTO_CEILING_OBJ_PER_MIN, 4)}}))
         return
     if mode == "render":
         v = bench_render()
@@ -613,6 +707,15 @@ def main():
             "vs_baseline": round(v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
             "extra": {"baseline_is_builder_estimate": True}}))
         return
+    if mode == "scene":
+        fps, qps = bench_scene()
+        print(json.dumps({
+            "metric": "scene_frames_per_sec", "value": round(fps, 3),
+            "unit": "frames/s", "vs_baseline": None,
+            "extra": {"scene_obj_ray_queries_per_sec": round(qps, 1),
+                      "n_objects": 2 if SMOKE else 6,
+                      "window": "8x8" if SMOKE else "256x128"}}))
+        return
     if mode == "train_product":
         v = bench_train_product()
         print(json.dumps({
@@ -629,7 +732,9 @@ def main():
             "vs_baseline": round(tto_v / REFERENCE_TTO_OBJ_PER_MIN_EST, 2),
             "extra": {
                 "tto_product_objects_per_min_per_chip": round(prod_v, 2),
-                "baseline_is_builder_estimate": True}}))
+                "baseline_is_builder_estimate": True,
+                "tto_vs_ceiling": round(
+                    tto_v / TTO_CEILING_OBJ_PER_MIN, 4)}}))
         return
     if mode == "train_pair":
         sps, peps, prod = bench_train_pair(emit=lambda l: print(l, flush=True))

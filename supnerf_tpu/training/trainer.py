@@ -219,6 +219,27 @@ class UnifiedTrainer:
         # datasets that precompute their samples (synthetic fixtures)
         return s, None, int(rng.integers(0, 2**31))
 
+    def _source_poses(self, fronts):
+        """Per-row refiner source poses: dataset-injected where present,
+        fresh random poses (ONE batched jitted CPU call) for mode-2 rows."""
+        src = [f[1] for f in fronts]
+        rand_rows = [j for j, f in enumerate(fronts) if f[2] is not None]
+        if rand_rows:
+            if self._pose_jit is None:
+                self._pose_jit = jax.jit(jax.vmap(
+                    lambda seed, K, roi: pose_gen.get_random_pose2(
+                        jax.random.PRNGKey(seed), K, roi, trans_lim=0.3)),
+                    backend="cpu")
+            seeds = np.asarray([fronts[j][2] for j in rand_rows], np.int32)
+            Ks = np.stack([np.asarray(fronts[j][0]["cam_intrinsics"],
+                                      np.float32) for j in rand_rows])
+            rois = np.stack([np.asarray(fronts[j][0]["rois"], np.float32)
+                             for j in rand_rows])
+            poses = np.asarray(self._pose_jit(seeds, Ks, rois))
+            for p, j in zip(poses, rand_rows):
+                src[j] = p.astype(np.float32)
+        return src
+
     def _prepare_batch_rows(self, idxs, salt: int = 0):
         """One batch of TrainBatch rows. The eager-jnp per-row math (random
         source pose, GT box-corner projection) runs as TWO batched jitted
@@ -231,22 +252,7 @@ class UnifiedTrainer:
             rngs = [np.random.default_rng((self._base_seed, salt, int(i)))
                     for i in idxs]
             fronts = [self._row_front(i, r) for i, r in zip(idxs, rngs)]
-            src = [f[1] for f in fronts]
-            rand_rows = [j for j, f in enumerate(fronts) if f[2] is not None]
-            if rand_rows:
-                if self._pose_jit is None:
-                    self._pose_jit = jax.jit(jax.vmap(
-                        lambda seed, K, roi: pose_gen.get_random_pose2(
-                            jax.random.PRNGKey(seed), K, roi, trans_lim=0.3)),
-                        backend="cpu")
-                seeds = np.asarray([fronts[j][2] for j in rand_rows], np.int32)
-                Ks = np.stack([np.asarray(fronts[j][0]["cam_intrinsics"],
-                                          np.float32) for j in rand_rows])
-                rois = np.stack([np.asarray(fronts[j][0]["rois"], np.float32)
-                                 for j in rand_rows])
-                poses = np.asarray(self._pose_jit(seeds, Ks, rois))
-                for p, j in zip(poses, rand_rows):
-                    src[j] = p.astype(np.float32)
+            src = self._source_poses(fronts)
             if self._uv_jit is None:
                 self._uv_jit = jax.jit(jax.vmap(
                     lambda pose, wlh, K: view_points(
@@ -291,6 +297,125 @@ class UnifiedTrainer:
             row["tgt_uv_aug"] = uv_aug.astype(np.float32)
         return row
 
+    def _prepare_batch_arrays(self, idxs, salt: int = 0):
+        """One batch as STACKED (B, ...) arrays — the epoch-loop path.
+
+        Same math and same per-row rng streams as _prepare_batch_rows, but
+        the pixel work is constant per row (pixel_prep.resize_masked_from_full
+        gathers the encoder input's bilinear neighbors straight from the full
+        image — no O(ROI area) crop copy, no cv2) and the ray math is ONE
+        vectorized numpy block for the whole batch. On this 1-core host this
+        cuts host prep ~3x at the published batch 48 (see VALIDATION.md
+        round 5); parity: tests/test_pixel_prep.py compares against the
+        per-row path. Falls back to the per-row path for configs it does not
+        cover (render_sz resampling, expanded rays)."""
+        if self.hpams.get("render_sz") is not None or not self.compact_rays:
+            rows = self._prepare_batch_rows(idxs, salt)
+            return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        from supnerf_tpu.training import pixel_prep as pp
+
+        n_rays = self.hpams.get("n_rays", 1024)
+        n_samples = self.hpams.get("n_samples", 64)
+        in_img_sz = self.hpams.get("in_img_sz", 128)
+        roi_margin = self.hpams.get("roi_margin", 5)
+        sym_aug = bool(self.hpams.get("sym_aug", 0))
+        shapenet = bool(self.hpams.get("shapenet_obj_cood", 1))
+        from supnerf_tpu.geometry.roi import roi_process
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            rngs = [np.random.default_rng((self._base_seed, salt, int(i)))
+                    for i in idxs]
+            fronts = [self._row_front(i, r) for i, r in zip(idxs, rngs)]
+            src = self._source_poses(fronts)
+
+            # per-row host front: processed roi + rng draws in the SAME
+            # stream order as prepare_pixel_samples (ids, z jitter, sym coin,
+            # then the aug_wlh factor), plus the constant-work encoder-input
+            # resample
+            B = len(fronts)
+            rois = np.empty((B, 4), np.int64)
+            idss = np.empty((B, n_rays), np.int64)
+            zjs = np.empty((B, n_samples), np.float64)
+            flips = np.zeros(B, bool)
+            img_ins = np.empty((B, in_img_sz, in_img_sz, 3), np.float32)
+            wlh_facs = np.empty((B, 3), np.float32) if self.aug_wlh else None
+            for b, (f, rng) in enumerate(zip(fronts, rngs)):
+                s = f[0]
+                img = np.asarray(s["imgs"], np.float32)
+                mask = np.asarray(s["masks_occ"], np.float32)
+                H, W = img.shape[:2]
+                roi = roi_process(s["rois"], H, W, roi_margin, sq_pad=False)
+                h, w = int(roi[3] - roi[1]), int(roi[2] - roi[0])
+                total = h * w
+                ids = rng.permutation(total)[:n_rays]
+                if len(ids) < n_rays:
+                    ids = np.concatenate(
+                        [ids, rng.choice(total, n_rays - len(ids))])
+                zjs[b] = rng.random(n_samples)
+                if sym_aug:
+                    flips[b] = rng.random() > 0.5
+                if self.aug_wlh:
+                    fac = rng.uniform(0.9, 1.1, 3).astype(np.float32)
+                    fac[2] = 1.0 / (fac[0] * fac[1])
+                    wlh_facs[b] = fac
+                rois[b], idss[b] = roi, ids
+                img_ins[b] = pp.resize_masked_from_full(
+                    img, mask, roi, pp.square_resize_hw(h, w, in_img_sz),
+                    in_img_sz)
+
+            Ks = np.stack([np.asarray(f[0]["cam_intrinsics"], np.float32)
+                           for f in fronts])
+            cams = np.stack([np.asarray(f[0]["cam_poses"], np.float32)
+                             for f in fronts])
+            wlhs = np.stack([np.asarray(f[0]["wlh"], np.float32)
+                             for f in fronts])
+            poses_gt = np.stack([np.asarray(f[0]["obj_poses"], np.float32)
+                                 for f in fronts])
+
+            rays, ys, xs = pp.batched_train_rays(
+                rois, idss, Ks, cams, wlhs, zjs, flips, n_samples, shapenet)
+            rgb_tgt = np.empty((B, n_rays, 3), np.float32)
+            occ_pixels = np.empty((B, n_rays, 1), np.float32)
+            for b, f in enumerate(fronts):
+                rgb_tgt[b], occ_pixels[b] = pp.gather_targets(
+                    f[0]["imgs"], f[0]["masks_occ"], ys[b], xs[b])
+
+            if self._uv_jit is None:
+                self._uv_jit = jax.jit(jax.vmap(
+                    lambda pose, wlh, K: view_points(
+                        corners_of_box(pose, wlh), K, normalize=True)),
+                    backend="cpu")
+            tgt_uv = np.asarray(self._uv_jit(poses_gt, wlhs, Ks))[:, :2]
+            if self.aug_wlh:
+                wlh_aug = wlhs * wlh_facs
+                tgt_uv_aug = np.asarray(
+                    self._uv_jit(poses_gt, wlh_aug, Ks))[:, :2]
+            else:
+                wlh_aug, tgt_uv_aug = wlhs, tgt_uv
+
+            return {
+                "img_in": img_ins if self._img_dtype is None
+                else img_ins.astype(self._img_dtype),
+                "xyz": rays["xyz"],
+                "viewdir": rays["viewdir"],
+                "z_vals": rays["z_vals"],
+                "rgb_tgt": rgb_tgt,
+                "occ_pixels": occ_pixels,
+                "src_pose": np.stack([
+                    (poses_gt[j] if sp is None else np.asarray(sp, np.float32))
+                    for j, sp in enumerate(src)]),
+                "tgt_uv": tgt_uv.astype(np.float32),
+                "tgt_uv_aug": tgt_uv_aug.astype(np.float32),
+                "wlh": wlhs,
+                "wlh_aug": wlh_aug.astype(np.float32),
+                "roi": rois.astype(np.float32),
+                "K": Ks,
+                "code_idx": np.asarray(
+                    [self.instoken2idx[f[0].get("instoken", str(i))]
+                     for f, i in zip(fronts, idxs)], np.int32),
+            }
+
     # -- loop ----------------------------------------------------------------
     def train(self, epochs: int, num_workers: int = 4):
         while self.nepoch < epochs:
@@ -312,22 +437,19 @@ class UnifiedTrainer:
         phases = self.epoch_phases
         phases.clear()
 
-        def collate(rows):
+        def collate(stacked):
             t0 = time.perf_counter()
-            stacked = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-            t1 = time.perf_counter()
             batch = TrainBatch(**{k: jnp.asarray(v) for k, v in stacked.items()})
-            phases["producer_stack"] += t1 - t0
-            phases["producer_upload"] += time.perf_counter() - t1
+            phases["producer_upload"] += time.perf_counter() - t0
             return shard_pytree_batch(batch, self.mesh) if self.mesh is not None else batch
 
         salt = int(self.nepoch) + 1
 
         def batch_prep(idxs):
             t0 = time.perf_counter()
-            rows = self._prepare_batch_rows(idxs, salt)
+            stacked = self._prepare_batch_arrays(idxs, salt)
             phases["producer_prep"] += time.perf_counter() - t0
-            return rows
+            return stacked
 
         batcher = PrefetchBatcher(
             lambda i: self._prepare_row(i, salt), collate,

@@ -40,5 +40,8 @@ def test_bench_all_stages_smoke():
     for k in ("tto_objects_per_min_per_chip",
               "tto_product_objects_per_min_per_chip",
               "train_steps_per_sec_per_chip",
-              "train_product_steps_per_sec_per_chip"):
+              "train_product_steps_per_sec_per_chip",
+              "scene_frames_per_sec",
+              "tto_vs_ceiling"):
         assert out["extra"][k] > 0, k
+    assert out["extra"]["programs_recompiled"] >= 0

@@ -1,8 +1,11 @@
 """TTO object-axis sharding over the virtual 8-device mesh: the vmapped
 pipeline must compile and produce per-object results under SPMD partitioning
 (replacing the reference's --num_subset manual process sharding)."""
+import re
+
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from tests.test_tto_driver import SynthDataset, _driver
 
@@ -37,3 +40,56 @@ def test_tto_mesh_sharding_matches_single_device(tmp_path):
             np.asarray(drv8.optimized_poses[ann]["CAM_FRONT"]),
             np.asarray(drv1.optimized_poses[ann]["CAM_FRONT"]),
             rtol=0, atol=1e-4)
+
+
+def test_tto_mesh_hlo_shard_local_work():
+    """Shard-local-work proof at the HLO level (the value-equivalence test
+    above would also pass for a silently REPLICATED program): compile the
+    8-device TTO program and assert (a) no all-gather materializes a
+    full-object-batch tensor, and (b) the per-device module's FLOPs are ~1/8
+    of the single-device program's — each device really optimizes only its
+    own object shard. Mirrors the train-side check
+    (test_train_step.py::test_train_step_pallas_field_on_mesh_partitioned)."""
+    from supnerf_tpu.data.synthetic import make_object_batch
+    from supnerf_tpu.models import build_model, init_model_variables
+    from supnerf_tpu.parallel import make_mesh, shard_pytree_batch
+    from supnerf_tpu.parallel.mesh import replicate_pytree
+    from supnerf_tpu.tto.core import ObjectBatch, TTOConfig, run_tto_batch
+
+    B, rays = 8, 8 * 8          # render_im_sz=8 -> 64 rays/object
+    model = build_model("supnerf", {"shape_blocks": 1, "texture_blocks": 1,
+                                    "latent_dim": 32, "pose_shortcut": 1,
+                                    "pred_wlh": 0})
+    variables = init_model_variables(model, jax.random.PRNGKey(0), img_size=32)
+    cfg = TTOConfig(num_opts=2, reg_iters=1, n_samples=8, render_im_sz=8,
+                    in_img_sz=32, n_lidar=8)
+    raw, _ = make_object_batch(B, seed=0, in_img_sz=32, render_im_sz=8,
+                               n_lidar=8)
+    batch = ObjectBatch(**{k: jnp.asarray(v) for k, v in raw.items()})
+    zeros = jnp.zeros(32)
+    fn = jax.jit(lambda v, b, k, z: run_tto_batch(model, v, b, z, z, cfg, k))
+
+    flops = {}
+    for n in (8, 1):
+        mesh = make_mesh(n)
+        args = (replicate_pytree(variables, mesh),
+                shard_pytree_batch(batch, mesh), jax.random.PRNGKey(0),
+                replicate_pytree(zeros, mesh))
+        compiled = fn.lower(*args).compile()
+        flops[n] = compiled.cost_analysis()["flops"]
+        if n == 1:
+            continue
+        bad = []
+        for line in compiled.as_text().splitlines():
+            if "all-gather" not in line:
+                continue
+            m = re.search(r"= \w+\[([\d,]+)\]", line)
+            elems = int(np.prod([int(x) for x in m.group(1).split(",")])) \
+                if m else 0
+            if elems >= B * rays:   # full object axis re-materialized
+                bad.append(line.strip()[:200])
+        assert not bad, "object-batch all-gather in sharded TTO:\n" + \
+            "\n".join(bad)
+    # per-device work must shrink ~linearly with the mesh (allow generous
+    # slack for replicated epilogue math)
+    assert flops[8] < 0.3 * flops[1], (flops[8], flops[1])
