@@ -14,7 +14,9 @@ Stages, in scoreboard-value order:
   product        TTODriver.run() end-to-end objects/min (host prep + dispatch
                  pipeline + fetch + bookkeeping)
   train_product  UnifiedTrainer.training_epoch end-to-end steps/s (real
-                 per-sample ray prep through PrefetchBatcher feeding the chip)
+                 per-sample ray prep feeding the chip; grouped 5-step
+                 dispatches on this 1-core host)
+  scene          demo-protocol multi-object compositor frames/s
 
 BENCH_METRIC=<stage> runs a single stage in-process and prints its own line.
 BENCH_SMOKE=1 forces the CPU platform and tiny shapes in every stage — the
@@ -392,10 +394,13 @@ def bench_train():
 def bench_train_product():
     """PRODUCT-path training throughput: UnifiedTrainer.training_epoch over a
     synthetic dataset at the published batch 48 with REAL per-sample ray prep
-    through PrefetchBatcher workers feeding the jitted step — what a user's
-    train run actually sustains, vs bench_train's isolated-step number
-    (reference: the dataloader-worker ray prep this replaces,
-    /root/reference/src/data_nuscenes.py:615-658)."""
+    feeding the chip — what a user's train run actually sustains, vs
+    bench_train's isolated-step number (reference: the dataloader-worker ray
+    prep this replaces, /root/reference/src/data_nuscenes.py:615-658). The
+    trainer auto-selects the epoch shape: on this 1-core host that is the
+    serial grouped loop (steps_per_dispatch=5, one lax.scan program per 5
+    steps); on multi-core hosts it is threaded per-step prefetch through
+    PrefetchBatcher workers."""
     import contextlib
     import tempfile
 
@@ -426,6 +431,11 @@ def bench_train_product():
         trainer.training_epoch(num_workers=workers)
         dt = time.perf_counter() - t0
     _t("train_product: done")
+    # product-path decomposition: producer (prep/upload) vs main thread
+    # (wait/dispatch/metric flush) seconds over the timed epoch
+    print("train_product phases: " + json.dumps(
+        {k: round(v, 3) for k, v in sorted(trainer.epoch_phases.items())}),
+        file=sys.stderr)
     return steps / dt
 
 

@@ -52,6 +52,11 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=1,
                    help="checkpoint every N epochs (last epoch always "
                         "saved); 1 matches the reference's per-epoch saves")
+    p.add_argument("--steps_per_dispatch", type=str, default="auto",
+                   help="train steps per dispatched XLA program (lax.scan "
+                        "group); auto = 5 on single-core hosts where "
+                        "per-step dispatch cost cannot hide under the "
+                        "device step, else 1 (threaded per-step prefetch)")
     p.add_argument("--field_impl", type=str, default="auto",
                    choices=["auto", "flax", "pallas"],
                    help="NeRF branch: the fused fwd+bwd train kernels "
@@ -88,6 +93,9 @@ def main(argv=None):
         finetune_wlh=args.finetune_wlh, n_devices=args.devices,
         seed=args.seed, check_iter=args.check_iter,
         field_impl=args.field_impl, save_every=args.save_every,
+        steps_per_dispatch=(args.steps_per_dispatch
+                            if args.steps_per_dispatch == "auto"
+                            else int(args.steps_per_dispatch)),
     )
     if args.resume_from_epoch is not None:
         trainer.resume_from_epoch(args.resume_dir or save_dir, args.resume_from_epoch)

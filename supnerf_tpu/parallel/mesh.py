@@ -69,6 +69,18 @@ def shard_pytree_batch(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def group_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 1 (the batch axis of a (K, B, ...) step-group) across the
+    data axis; axis 0 is the sequential step axis of a grouped train
+    dispatch (training.make_train_multi_step) and stays unsharded."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_pytree_group(tree, mesh: Mesh):
+    s = group_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
 def replicate_pytree(tree, mesh: Mesh):
     s = replicate_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)

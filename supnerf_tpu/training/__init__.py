@@ -3,6 +3,7 @@ from supnerf_tpu.training.train_step import (
     TrainConfig,
     TrainState,
     init_train_state,
+    make_train_multi_step,
     make_train_step,
     unified_loss,
 )

@@ -436,6 +436,16 @@ def make_train_step(model, cfg: TrainConfig, donate: bool = True,
     """
     tx_model, tx_codes = _make_optimizers(cfg)
     names_holder: list = []
+    train_step = _make_step_body(model, cfg, loss_mode, mesh, tx_model,
+                                 tx_codes, names_holder, packed=packed_metrics)
+    fn = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return _PackedStep(fn, names_holder) if packed_metrics else fn
+
+
+def _make_step_body(model, cfg: TrainConfig, loss_mode, mesh, tx_model,
+                    tx_codes, names_holder, packed: bool = True):
+    """The single-train-step body shared by make_train_step (jitted directly)
+    and make_train_multi_step (scanned K times in one program)."""
 
     def train_step(state: TrainState, batch: TrainBatch, key):
         batch = expand_compact_rays(batch)
@@ -485,7 +495,7 @@ def make_train_step(model, cfg: TrainConfig, donate: bool = True,
         )
         metrics = dict(aux["losses"])
         metrics["enc_active"] = enc_active.astype(jnp.float32)
-        if packed_metrics:
+        if packed:
             names = tuple(sorted(metrics))
             if not names_holder:
                 names_holder.append(names)
@@ -493,5 +503,40 @@ def make_train_step(model, cfg: TrainConfig, donate: bool = True,
                 [jnp.asarray(metrics[k], jnp.float32) for k in names])
         return new_state, metrics
 
-    fn = jax.jit(train_step, donate_argnums=(0,) if donate else ())
-    return _PackedStep(fn, names_holder) if packed_metrics else fn
+    return train_step
+
+
+def make_train_multi_step(model, cfg: TrainConfig, donate: bool = True,
+                          loss_mode: str = "unified", mesh=None):
+    """K train steps in ONE jitted program: (state, batch_group, keys) ->
+    (state, metrics (K, n_metrics)) with batch_group leaves stacked on a new
+    leading step axis (K, B, ...) and keys (K, 2) uint32.
+
+    This is the grouped-stepping path for hosts where per-step dispatch cost
+    cannot hide under the device step: on this environment's SINGLE-core host
+    each dispatched step costs ~45-50 ms of client CPU (response handling +
+    one jax.Array handle per state leaf) that the data producer must share
+    the core with, capping the per-step epoch loop at ~85% of the isolated
+    rate (VALIDATION.md round 5). lax.scan over the step body amortizes all
+    of it K-fold; K is static per executable (the trainer picks it). The
+    reference has no analogue — its dataloader feeds a per-step python loop
+    (trainer_unified_nuscenes.py:266-388).
+
+    Metrics come back as one (K, n_metrics) buffer (one fetch per group);
+    unpack rows with .unpack(row). Same math as K make_train_step calls —
+    tests/test_train_step.py::test_multi_step_matches_sequential_steps."""
+    tx_model, tx_codes = _make_optimizers(cfg)
+    names_holder: list = []
+    step = _make_step_body(model, cfg, loss_mode, mesh, tx_model, tx_codes,
+                           names_holder)
+
+    def multi_step(state: TrainState, group: TrainBatch, keys):
+        def body(st, xs):
+            b, k = xs
+            st2, vec = step(st, b, k)
+            return st2, vec
+
+        return jax.lax.scan(body, state, (group, keys))
+
+    fn = jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+    return _PackedStep(fn, names_holder)

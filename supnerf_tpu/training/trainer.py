@@ -34,6 +34,7 @@ from supnerf_tpu.training.train_step import (
     TrainBatch,
     TrainConfig,
     init_train_state,
+    make_train_multi_step,
     make_train_step,
 )
 
@@ -74,7 +75,8 @@ class UnifiedTrainer:
                  check_iter: int = 1000, log_writer=None,
                  field_impl: str = "flax", save_every: int = 1,
                  compact_rays: bool = True, metric_flush: int = 10,
-                 img_upload_dtype: str | None = "bfloat16"):
+                 img_upload_dtype: str | None = "bfloat16",
+                 steps_per_dispatch: int | str = "auto"):
         self.model = model
         self.hpams = hpams
         self.dataset = dataset
@@ -176,6 +178,25 @@ class UnifiedTrainer:
         self.step_fn = make_train_step(self.model, self.cfg, donate=False,
                                        loss_mode=loss_mode, mesh=self.mesh,
                                        packed_metrics=True)
+        # grouped stepping: K train steps per dispatched program (lax.scan
+        # over the step body). On a single-core host the per-step dispatch
+        # overhead (~45-50 ms of client CPU: response handling + one
+        # jax.Array handle per state leaf) cannot hide under the device step
+        # and the threaded producer cannot overlap anything, so the epoch
+        # runs SERIALLY with K-step dispatches instead (measured 3.8 -> ~7
+        # steps/s at the published batch 48; VALIDATION.md round 5).
+        # "auto" = 5 on hosts with <=2 usable cores, else 1 (threaded
+        # per-step prefetch, the right shape when cores can overlap prep).
+        if steps_per_dispatch == "auto":
+            try:
+                n_cores = len(os.sched_getaffinity(0))
+            except AttributeError:   # non-linux
+                n_cores = os.cpu_count() or 1
+            steps_per_dispatch = 5 if n_cores <= 2 else 1
+        self.steps_per_dispatch = max(int(steps_per_dispatch), 1)
+        self.multi_step_fn = make_train_multi_step(
+            self.model, self.cfg, donate=False, loss_mode=loss_mode,
+            mesh=self.mesh) if self.steps_per_dispatch > 1 else None
         self.metrics_history = []
 
     # -- data ----------------------------------------------------------------
@@ -301,14 +322,17 @@ class UnifiedTrainer:
         """One batch as STACKED (B, ...) arrays — the epoch-loop path.
 
         Same math and same per-row rng streams as _prepare_batch_rows, but
-        the pixel work is constant per row (pixel_prep.resize_masked_from_full
+        the pixel work is bounded per row (pixel_prep.resize_masked_from_full
         gathers the encoder input's bilinear neighbors straight from the full
-        image — no O(ROI area) crop copy, no cv2) and the ray math is ONE
-        vectorized numpy block for the whole batch. On this 1-core host this
-        cuts host prep ~3x at the published batch 48 (see VALIDATION.md
-        round 5); parity: tests/test_pixel_prep.py compares against the
-        per-row path. Falls back to the per-row path for configs it does not
-        cover (render_sz resampling, expanded rays)."""
+        image for large ROIs — O(out^2) instead of O(ROI area) — with the
+        slice+cv2 path kept where it measures faster), the ray math is ONE
+        vectorized numpy block for the whole batch, and rows come back
+        already stacked (no per-row dicts, no np.stack in collate). Measured
+        67 vs 72 ms/batch-48 on the synthetic fixture's small ROIs and
+        area-independent on real nuScenes close-car crops (VALIDATION.md
+        round 5); parity: tests/test_pixel_prep.py. Falls back to the
+        per-row path for configs it does not cover (render_sz resampling,
+        expanded rays)."""
         if self.hpams.get("render_sz") is not None or not self.compact_rays:
             rows = self._prepare_batch_rows(idxs, salt)
             return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
@@ -431,6 +455,107 @@ class UnifiedTrainer:
         return self.state
 
     def training_epoch(self, num_workers: int = 4):
+        if self.steps_per_dispatch > 1:
+            return self._training_epoch_grouped()
+        return self._training_epoch_threaded(num_workers)
+
+    def _training_epoch_grouped(self):
+        """Serial grouped epoch for hosts that cannot overlap prep with
+        per-step dispatch (see steps_per_dispatch in __init__): prep K
+        batches on the main thread while the device runs the PREVIOUS
+        K-step program, stack them on a new step axis, dispatch ONE
+        lax.scan program. Steps that don't fill a group run through the
+        single-step program."""
+        K = self.steps_per_dispatch
+        B = self.batch_size
+        order = self.rng.permutation(len(self.dataset))
+        phases = self.epoch_phases
+        phases.clear()
+        salt = int(self.nepoch) + 1
+        n_steps = len(order) // B
+        n_groups = n_steps // K
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            epoch_key = jax.random.fold_in(
+                jax.random.PRNGKey(self._base_seed), salt)
+            step_keys = np.asarray(jax.vmap(
+                lambda i: jax.random.fold_in(epoch_key, i))(
+                    jnp.arange(max(n_steps, 1))))
+        niter_host = int(self.state.niter)
+        first_idx = int(order[0]) if len(order) else 0
+        pending, pending_single = [], []
+        t0 = time.time()
+        for g in range(n_groups):
+            t_p = time.perf_counter()
+            arrs = [self._prepare_batch_arrays(
+                [int(i) for i in order[(g * K + j) * B:(g * K + j + 1) * B]],
+                salt) for j in range(K)]
+            stacked = {k: np.stack([a[k] for a in arrs]) for k in arrs[0]}
+            t_u = time.perf_counter()
+            phases["producer_prep"] += t_u - t_p
+            group = TrainBatch(
+                **{k: jnp.asarray(v) for k, v in stacked.items()})
+            keys_g = jnp.asarray(step_keys[g * K:(g + 1) * K])
+            if self.mesh is not None:
+                from supnerf_tpu.parallel.mesh import shard_pytree_group
+
+                group = shard_pytree_group(group, self.mesh)
+                keys_g = replicate_pytree(keys_g, self.mesh)
+            t_d = time.perf_counter()
+            phases["producer_upload"] += t_d - t_u
+            self.state, mvec = self.multi_step_fn(self.state, group, keys_g)
+            self._copy_async(mvec)
+            niter_host += K
+            pending.append((mvec, time.time() - t0, niter_host))
+            phases["main_dispatch"] += time.perf_counter() - t_d
+            if len(pending) * K >= self.metric_flush:
+                t_f = time.perf_counter()
+                self._flush_metrics_grouped(pending)
+                pending = []
+                phases["main_metric_flush"] += time.perf_counter() - t_f
+            if niter_host // self.check_iter > (niter_host - K) // self.check_iter:
+                self._log_vis(first_idx)
+            t0 = time.time()
+        # remainder steps through the single-step program
+        for s in range(n_groups * K, n_steps):
+            t_p = time.perf_counter()
+            stacked = self._prepare_batch_arrays(
+                [int(i) for i in order[s * B:(s + 1) * B]], salt)
+            t_u = time.perf_counter()
+            phases["producer_prep"] += t_u - t_p
+            batch = TrainBatch(
+                **{k: jnp.asarray(v) for k, v in stacked.items()})
+            if self.mesh is not None:
+                batch = shard_pytree_batch(batch, self.mesh)
+            t_d = time.perf_counter()
+            phases["producer_upload"] += t_d - t_u
+            self.state, mvec = self.step_fn(self.state, batch, step_keys[s])
+            self._copy_async(mvec)
+            niter_host += 1
+            pending_single.append((mvec, time.time() - t0, niter_host))
+            phases["main_dispatch"] += time.perf_counter() - t_d
+            if niter_host % self.check_iter == 0:
+                self._log_vis(first_idx)
+            t0 = time.time()
+        t_f = time.perf_counter()
+        self._flush_metrics_grouped(pending)
+        self._flush_metrics(pending_single)
+        phases["main_metric_flush"] += time.perf_counter() - t_f
+        phases["n_steps"] += n_steps
+
+    def _flush_metrics_grouped(self, pending):
+        """One blocking fetch for a window of (K, n_metrics) group buffers;
+        each group's wall time is attributed evenly to its K steps."""
+        if not pending:
+            return
+        fetched = jax.device_get([m for m, _, _ in pending])
+        for rows, (_, dt, niter_end) in zip(fetched, pending):
+            k = rows.shape[0]
+            for j, row in enumerate(rows):
+                self._log(self.multi_step_fn.unpack(row), dt / k,
+                          niter_end - k + 1 + j, fetched=True)
+
+    def _training_epoch_threaded(self, num_workers: int = 4):
         from supnerf_tpu.training.prefetch import PrefetchBatcher
 
         order = self.rng.permutation(len(self.dataset))

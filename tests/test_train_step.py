@@ -217,3 +217,35 @@ def test_train_step_pallas_field_on_mesh_partitioned():
     for a, b in zip(jax.tree.leaves(outs["flax"][0].params),
                     jax.tree.leaves(outs["pallas"][0].params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-4)
+
+
+def test_multi_step_matches_sequential_steps():
+    """make_train_multi_step (K steps in one lax.scan program) must reproduce
+    K sequential make_train_step calls: same final state, same per-step
+    metric rows (the grouped epoch path relies on this equivalence)."""
+    from supnerf_tpu.training.train_step import make_train_multi_step
+
+    model, cfg, state, step_plain = _shared_step()
+    step = make_train_step(model, cfg, donate=False, packed_metrics=True)
+    multi = make_train_multi_step(model, cfg, donate=False)
+    b1, b2 = _make_batch(), _make_batch()
+    group = jax.tree.map(lambda a, b: jnp.stack([a, b]), b1, b2)
+    keys = jnp.stack([jax.random.PRNGKey(11), jax.random.PRNGKey(12)])
+
+    st_m, rows = multi(state, group, keys)
+    st_s = state
+    seq_rows = []
+    for b, k in ((b1, keys[0]), (b2, keys[1])):
+        st_s, vec = step(st_s, b, k)
+        seq_rows.append(np.asarray(vec))
+    assert rows.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(rows), np.stack(seq_rows),
+                               rtol=5e-4, atol=1e-5)
+    assert multi.metric_names() == step.metric_names()
+    for a, b in zip(jax.tree.leaves(st_s.params), jax.tree.leaves(st_m.params)):
+        # post-Adam params: a ~1-ulp grad difference can flip an entire
+        # update sign locally (update magnitude == lr=1e-4), so compare at
+        # the update scale, not fp epsilon
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=3e-4)
+    assert int(st_m.niter) == int(state.niter) + 2
