@@ -409,7 +409,11 @@ def bench_train_product():
     from supnerf_tpu.training.trainer import UnifiedTrainer
 
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "2" if SMOKE else "48"))
-    steps = int(os.environ.get("BENCH_TRAIN_EPOCH_STEPS", "2" if SMOKE else "10"))
+    # 40 steps ~= 8 groups of 5: long enough that the steady-state pipeline
+    # (prep overlapped under the K-step device programs) dominates the one
+    # unavoidable pipeline-fill prep; a 10-step epoch was ~1/4 startup and
+    # under-read the sustained rate by ~25%
+    steps = int(os.environ.get("BENCH_TRAIN_EPOCH_STEPS", "2" if SMOKE else "40"))
     n_base = 2 if SMOKE else 48    # distinct synthetic objects (memory-bounded)
     workers = int(os.environ.get("BENCH_TRAIN_WORKERS", "8"))
 

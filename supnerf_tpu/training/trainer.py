@@ -508,10 +508,21 @@ class UnifiedTrainer:
             niter_host += K
             pending.append((mvec, time.time() - t0, niter_host))
             phases["main_dispatch"] += time.perf_counter() - t_d
-            if len(pending) * K >= self.metric_flush:
+            if (len(pending) - 2) * K >= max(self.metric_flush, 8 * K):
+                # the windowed fetch costs one tunnel round trip (~0.03-0.4 s
+                # session-dependent) regardless of size — the (K, n_metrics)
+                # buffers are tiny — so grouped mode widens the window to >=8
+                # groups; smaller metric_flush values still apply at epoch end
+                # flush only groups at least TWO behind the head: the last
+                # dispatched group is still queued and the one before it is
+                # likely mid-run, so fetching either would stall the host on
+                # device progress (measured 2.2 s of flush waits per 80-step
+                # epoch when keeping one, ~0 when keeping two); older groups
+                # finished while the host prepped, so their fetch costs one
+                # round trip, no wait
                 t_f = time.perf_counter()
-                self._flush_metrics_grouped(pending)
-                pending = []
+                self._flush_metrics_grouped(pending[:-2])
+                pending = pending[-2:]
                 phases["main_metric_flush"] += time.perf_counter() - t_f
             if niter_host // self.check_iter > (niter_host - K) // self.check_iter:
                 self._log_vis(first_idx)
@@ -615,10 +626,12 @@ class UnifiedTrainer:
             self._copy_async(metrics)
             pending.append((metrics, time.time() - t0, niter_host))
             phases["main_dispatch"] += time.perf_counter() - t_got
-            if len(pending) >= self.metric_flush:
+            if len(pending) > self.metric_flush + 2:
+                # same keep-last-two rule as the grouped loop: never block on
+                # a step the device may still be running
                 t_f = time.perf_counter()
-                self._flush_metrics(pending)
-                pending = []
+                self._flush_metrics(pending[:-2])
+                pending = pending[-2:]
                 phases["main_metric_flush"] += time.perf_counter() - t_f
             if niter_host % self.check_iter == 0:
                 self._log_vis(first_idx)
